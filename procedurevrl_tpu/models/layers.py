@@ -1,0 +1,97 @@
+"""Shared flax building blocks (fp32 LayerNorm, MLP, attention module)."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from procedurevrl_tpu.ops.common import drop_path, gelu_exact, layer_norm_fp32, trunc_normal_init
+from procedurevrl_tpu.ops.attention import mhsa
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm with float32 accumulation regardless of compute dtype.
+
+    Matches torch ``nn.LayerNorm`` numerics; the order transformer
+    additionally relies on fp32 LN under low-precision compute (reference
+    ``lib/models/tfm_model.py:18-24``).
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return layer_norm_fp32(x, scale, bias, self.eps)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference ``lib/models/vit.py:44-60``)."""
+
+    hidden_dim: int
+    out_dim: int
+    act: Callable = gelu_exact
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(0.02), name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(0.02), name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Fused-qkv self-attention (reference ``lib/models/vit.py:62-92``)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        qkv_w = self.param(
+            "qkv_kernel", trunc_normal_init(0.02), (self.dim, 3 * self.dim), jnp.float32
+        )
+        qkv_b = (
+            self.param("qkv_bias", nn.initializers.zeros, (3 * self.dim,), jnp.float32)
+            if self.qkv_bias
+            else None
+        )
+        proj_w = self.param(
+            "proj_kernel", trunc_normal_init(0.02), (self.dim, self.dim), jnp.float32
+        )
+        proj_b = self.param("proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return mhsa(
+            x,
+            qkv_w,
+            qkv_b,
+            proj_w,
+            proj_b,
+            self.num_heads,
+            key_padding_mask=key_padding_mask,
+            use_pallas=self.use_pallas,
+        )
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        return drop_path(x, self.rate, False, self.make_rng("droppath"))

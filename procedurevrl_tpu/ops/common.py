@@ -1,0 +1,98 @@
+"""Numerics-parity primitives shared by all models.
+
+These pin down the exact elementwise semantics of the reference's PyTorch
+building blocks so converted checkpoints reproduce reference outputs:
+
+- ``gelu_exact``: torch ``nn.GELU()`` default (erf form) — note that
+  ``jax.nn.gelu``'s default is the *tanh approximation*, which diverges by
+  up to ~1e-3 and breaks checkpoint parity.
+- ``quick_gelu``: CLIP's ``x * sigmoid(1.702 x)`` (reference
+  ``lib/models/tfm_model.py:27-29``).
+- ``layer_norm_fp32``: LayerNorm computed in float32 regardless of the
+  compute dtype (reference ``lib/models/tfm_model.py:18-24`` subclasses
+  LayerNorm to upcast; torch LayerNorm also accumulates in fp32).
+- ``interpolate_nearest_1d/2d``: torch ``F.interpolate(mode='nearest')``
+  index rule ``src = floor(dst * in / out)`` used for pos/time embedding
+  resizing (reference ``lib/models/vit.py:382,400``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def layer_norm_fp32(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def interpolate_nearest_1d(x: jax.Array, out_len: int, axis: int) -> jax.Array:
+    """torch F.interpolate(mode='nearest') along one axis."""
+    in_len = x.shape[axis]
+    if in_len == out_len:
+        return x
+    idx = jnp.floor(jnp.arange(out_len) * (in_len / out_len)).astype(jnp.int32)
+    return jnp.take(x, idx, axis=axis)
+
+
+def interpolate_nearest_2d(x: jax.Array, out_hw, axes=(-2, -1)) -> jax.Array:
+    x = interpolate_nearest_1d(x, out_hw[0], axes[0])
+    x = interpolate_nearest_1d(x, out_hw[1], axes[1])
+    return x
+
+
+def drop_path(
+    x: jax.Array, rate: float, deterministic: bool, rng: jax.Array | None
+) -> jax.Array:
+    """Stochastic depth on the leading (sample) axis (timm semantics:
+    reference ``lib/models/vit_utils.py:140-157``)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def trunc_normal_init(std: float = 0.02):
+    """timm trunc_normal_: normal(0, std) truncated to [-2std, 2std]
+    (reference ``lib/models/vit_utils.py:59-78``)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        # truncated_normal samples from N(0,1) truncated to [-2, 2]; timm
+        # truncates at 2 std of the *target* distribution, i.e. scale by std.
+        return jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32).astype(
+            dtype
+        ) * std
+
+    return init
+
+
+def sinusoidal_time_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """Diffusion time embedding (reference ``lib/models/diffusion_model.py:34-47``).
+
+    Args:
+        t: [B] float or int time levels.
+    Returns:
+        [B, dim] embeddings, cat(sin, cos).
+    """
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1)))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)

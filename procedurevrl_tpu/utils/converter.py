@@ -1,0 +1,149 @@
+"""PyTorch checkpoint -> JAX pytree conversion.
+
+Converts reference ``.pyth`` checkpoints (``{"model_state", "optimizer_state",
+"epoch", "cfg"}``, reference ``lib/utils/checkpoint.py:126-131``), ImageNet
+ViT-B/16 weights, and OpenAI CLIP text weights into the flax parameter trees
+used here.  Conversion rules:
+
+- ``nn.Linear`` weight ``[out, in]`` -> Dense kernel ``[in, out]`` (transpose);
+- patch-embed ``Conv2d [D, C, p, p]`` -> patchify-matmul kernel
+  ``[p*p*C, D]`` via ``permute(2, 3, 1, 0).reshape`` (channel-minor patch
+  vector layout, see ``models/timesformer.py``);
+- ``nn.LayerNorm`` weight/bias -> ``scale``/``bias``;
+- ``nn.MultiheadAttention`` in_proj/out_proj -> fused qkv/proj kernels.
+
+Prefix handling strips the reference's ``model.`` wrapper and DDP
+``module.`` prefix (reference ``lib/utils/checkpoint.py:224-227``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().float().numpy()
+
+
+def strip_prefixes(state: Dict, prefixes=("module.", "model.")) -> Dict:
+    out = dict(state)
+    for prefix in prefixes:
+        if all(k.startswith(prefix) for k in out):
+            out = {k[len(prefix):]: v for k, v in out.items()}
+    return out
+
+
+def _set(tree: dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def convert_timesformer(state: Dict, depth: int = 12, patch: int = 16) -> dict:
+    """Convert a reference TimeSformer encoder state_dict (keys like
+    ``patch_embed.proj.weight``, ``blocks.0.attn.qkv.weight``) into the
+    ``TimeSformer`` flax param tree."""
+    params: dict = {}
+    w = _np(state["patch_embed.proj.weight"])  # [D, C, p, p]
+    d, c = w.shape[0], w.shape[1]
+    _set(params, "patch_embed/kernel", w.transpose(2, 3, 1, 0).reshape(patch * patch * c, d))
+    _set(params, "patch_embed/bias", _np(state["patch_embed.proj.bias"]))
+    _set(params, "cls_token", _np(state["cls_token"]))
+    _set(params, "pos_embed", _np(state["pos_embed"]))
+    if "time_embed" in state:
+        _set(params, "time_embed", _np(state["time_embed"]))
+    for i in range(depth):
+        src = f"blocks.{i}."
+        dst = f"blocks_{i}/"
+        for ln in ("norm1", "norm2", "temporal_norm1"):
+            if src + ln + ".weight" in state:
+                _set(params, dst + ln + "/scale", _np(state[src + ln + ".weight"]))
+                _set(params, dst + ln + "/bias", _np(state[src + ln + ".bias"]))
+        for attn in ("attn", "temporal_attn"):
+            if src + attn + ".qkv.weight" not in state:
+                continue
+            _set(params, dst + attn + "/qkv_kernel", _np(state[src + attn + ".qkv.weight"]).T)
+            if src + attn + ".qkv.bias" in state:
+                _set(params, dst + attn + "/qkv_bias", _np(state[src + attn + ".qkv.bias"]))
+            _set(params, dst + attn + "/proj_kernel", _np(state[src + attn + ".proj.weight"]).T)
+            _set(params, dst + attn + "/proj_bias", _np(state[src + attn + ".proj.bias"]))
+        if src + "temporal_fc.weight" in state:
+            _set(params, dst + "temporal_fc/kernel", _np(state[src + "temporal_fc.weight"]).T)
+            _set(params, dst + "temporal_fc/bias", _np(state[src + "temporal_fc.bias"]))
+        _set(params, dst + "mlp/fc1/kernel", _np(state[src + "mlp.fc1.weight"]).T)
+        _set(params, dst + "mlp/fc1/bias", _np(state[src + "mlp.fc1.bias"]))
+        _set(params, dst + "mlp/fc2/kernel", _np(state[src + "mlp.fc2.weight"]).T)
+        _set(params, dst + "mlp/fc2/bias", _np(state[src + "mlp.fc2.bias"]))
+    _set(params, "norm/scale", _np(state["norm.weight"]))
+    _set(params, "norm/bias", _np(state["norm.bias"]))
+    return params
+
+
+def convert_order_transformer(state: Dict, layers: int = 4) -> dict:
+    """Convert reference DiffusionTransformer weights (reference
+    ``lib/models/tfm_model.py:70-104``) into the ``OrderTransformer`` tree."""
+    params: dict = {}
+    _set(params, "pad_embedding", _np(state["pad_embedding.weight"]))
+    _set(params, "type_embedding", _np(state["type_embedding.weight"]))
+    _set(params, "temporal_embedding", _np(state["temporalEmbedding.weight"]))
+    _set(params, "time_mlp/fc1/kernel", _np(state["time_mlp.1.weight"]).T)
+    _set(params, "time_mlp/fc1/bias", _np(state["time_mlp.1.bias"]))
+    _set(params, "time_mlp/fc2/kernel", _np(state["time_mlp.3.weight"]).T)
+    _set(params, "time_mlp/fc2/bias", _np(state["time_mlp.3.bias"]))
+    for i in range(layers):
+        src = f"temporalModelling.resblocks.{i}."
+        dst = f"resblocks_{i}/"
+        _set(params, dst + "ln_1/scale", _np(state[src + "ln_1.weight"]))
+        _set(params, dst + "ln_1/bias", _np(state[src + "ln_1.bias"]))
+        _set(params, dst + "ln_2/scale", _np(state[src + "ln_2.weight"]))
+        _set(params, dst + "ln_2/bias", _np(state[src + "ln_2.bias"]))
+        _set(params, dst + "attn/qkv_kernel", _np(state[src + "attn.in_proj_weight"]).T)
+        _set(params, dst + "attn/qkv_bias", _np(state[src + "attn.in_proj_bias"]))
+        _set(params, dst + "attn/proj_kernel", _np(state[src + "attn.out_proj.weight"]).T)
+        _set(params, dst + "attn/proj_bias", _np(state[src + "attn.out_proj.bias"]))
+        _set(params, dst + "mlp/fc1/kernel", _np(state[src + "mlp.c_fc.weight"]).T)
+        _set(params, dst + "mlp/fc1/bias", _np(state[src + "mlp.c_fc.bias"]))
+        _set(params, dst + "mlp/fc2/kernel", _np(state[src + "mlp.c_proj.weight"]).T)
+        _set(params, dst + "mlp/fc2/bias", _np(state[src + "mlp.c_proj.bias"]))
+    return params
+
+
+def convert_clip_text(state: Dict, layers: int = 12) -> dict:
+    """Convert OpenAI CLIP text-tower weights (token_embedding,
+    positional_embedding, transformer.resblocks.*, ln_final, text_projection)
+    into the ``CLIPTextEncoder`` tree."""
+    params: dict = {}
+    _set(params, "token_embedding", _np(state["token_embedding.weight"]))
+    _set(params, "positional_embedding", _np(state["positional_embedding"]))
+    _set(params, "text_projection", _np(state["text_projection"]))
+    _set(params, "ln_final/scale", _np(state["ln_final.weight"]))
+    _set(params, "ln_final/bias", _np(state["ln_final.bias"]))
+    for i in range(layers):
+        src = f"transformer.resblocks.{i}."
+        dst = f"resblocks_{i}/"
+        _set(params, dst + "ln_1/scale", _np(state[src + "ln_1.weight"]))
+        _set(params, dst + "ln_1/bias", _np(state[src + "ln_1.bias"]))
+        _set(params, dst + "ln_2/scale", _np(state[src + "ln_2.weight"]))
+        _set(params, dst + "ln_2/bias", _np(state[src + "ln_2.bias"]))
+        _set(params, dst + "attn/qkv_kernel", _np(state[src + "attn.in_proj_weight"]).T)
+        _set(params, dst + "attn/qkv_bias", _np(state[src + "attn.in_proj_bias"]))
+        _set(params, dst + "attn/proj_kernel", _np(state[src + "attn.out_proj.weight"]).T)
+        _set(params, dst + "attn/proj_bias", _np(state[src + "attn.out_proj.bias"]))
+        _set(params, dst + "mlp/fc1/kernel", _np(state[src + "mlp.c_fc.weight"]).T)
+        _set(params, dst + "mlp/fc1/bias", _np(state[src + "mlp.c_fc.bias"]))
+        _set(params, dst + "mlp/fc2/kernel", _np(state[src + "mlp.c_proj.weight"]).T)
+        _set(params, dst + "mlp/fc2/bias", _np(state[src + "mlp.c_proj.bias"]))
+    return params
+
+
+def convert_linear(state: Dict, key: str) -> dict:
+    return {
+        "kernel": _np(state[key + ".weight"]).T,
+        "bias": _np(state[key + ".bias"]),
+    }

@@ -1,0 +1,72 @@
+"""CLI argument parsing and config loading.
+
+Same public surface as the reference ``lib/utils/parser.py:12-93``:
+``parse_args()`` exposing ``--cfg YAML`` plus trailing ``KEY VALUE`` override
+pairs, and ``load_config(args)`` performing defaults -> YAML -> CLI merge.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from procedurevrl_tpu.config import get_cfg
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="TPU-native ProcedureVRL training and testing pipeline."
+    )
+    parser.add_argument(
+        "--shard_id",
+        help="The shard id of the current host (0-based).",
+        default=0,
+        type=int,
+    )
+    parser.add_argument(
+        "--num_shards",
+        help="Number of hosts in the job.",
+        default=1,
+        type=int,
+    )
+    parser.add_argument(
+        "--init_method",
+        help="Coordinator address for jax.distributed (host:port).",
+        default="",
+        type=str,
+    )
+    parser.add_argument(
+        "--cfg",
+        dest="cfg_file",
+        help="Path to the config file.",
+        default=None,
+        type=str,
+    )
+    parser.add_argument(
+        "opts",
+        help="See procedurevrl_tpu/config/defaults.py for all options.",
+        default=None,
+        nargs=argparse.REMAINDER,
+    )
+    if argv is None:
+        argv = sys.argv[1:]
+    if len(argv) == 0:
+        parser.print_help()
+    return parser.parse_args(argv)
+
+
+def load_config(args):
+    """Build the config: defaults -> YAML overlay -> CLI KEY VALUE overrides."""
+    cfg = get_cfg()
+    if getattr(args, "cfg_file", None):
+        cfg.merge_from_file(args.cfg_file)
+    if getattr(args, "opts", None):
+        cfg.merge_from_list(args.opts)
+
+    if hasattr(args, "num_shards") and hasattr(args, "shard_id"):
+        cfg.NUM_SHARDS = args.num_shards
+        cfg.SHARD_ID = args.shard_id
+    if getattr(args, "init_method", ""):
+        cfg.TPU.COORDINATOR_ADDRESS = args.init_method
+
+    return cfg
