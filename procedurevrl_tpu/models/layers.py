@@ -57,6 +57,8 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
+    causal: bool = False
+
     @nn.compact
     def __call__(
         self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None
@@ -81,6 +83,7 @@ class Attention(nn.Module):
             proj_b,
             self.num_heads,
             key_padding_mask=key_padding_mask,
+            causal=self.causal,
             use_pallas=self.use_pallas,
         )
 

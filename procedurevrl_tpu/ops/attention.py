@@ -35,6 +35,7 @@ def attention_core(
     v: jax.Array,
     scale: float,
     key_padding_mask: jax.Array | None = None,
+    causal: bool = False,
 ) -> jax.Array:
     """softmax(q k^T * scale) v with fp32 softmax accumulation.
 
@@ -42,13 +43,18 @@ def attention_core(
         q, k, v: [B, H, N, D].
         key_padding_mask: optional [B, N] bool, True = masked out (torch
             ``key_padding_mask`` semantics).
+        causal: lower-triangular mask (CLIP text tower).
     """
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=logits.dtype)
     if key_padding_mask is not None:
-        neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=logits.dtype)
         logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+    if causal:
+        n = logits.shape[-1]
+        tri = jnp.tril(jnp.ones((n, n), dtype=bool))
+        logits = jnp.where(tri[None, None], logits, neg)
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -63,6 +69,7 @@ def mhsa_xla(
     proj_b: jax.Array,
     num_heads: int,
     key_padding_mask: jax.Array | None = None,
+    causal: bool = False,
 ) -> jax.Array:
     """Fused-projection self-attention.
 
@@ -85,6 +92,7 @@ def mhsa_xla(
         split_heads(v, num_heads),
         scale,
         key_padding_mask,
+        causal,
     )
     out = merge_heads(out)
     out = jnp.einsum("bnc,cd->bnd", out, proj_w.astype(x.dtype),
@@ -100,9 +108,10 @@ def mhsa(
     proj_b: jax.Array,
     num_heads: int,
     key_padding_mask: jax.Array | None = None,
+    causal: bool = False,
     use_pallas: bool = False,
 ) -> jax.Array:
-    if use_pallas and key_padding_mask is None and x.shape[1] >= 128:
+    if use_pallas and key_padding_mask is None and not causal and x.shape[1] >= 128:
         from procedurevrl_tpu.ops.pallas_attention import flash_mhsa
 
         b, n, c = x.shape
@@ -122,4 +131,4 @@ def mhsa(
         out = jnp.einsum("bnc,cd->bnd", out, proj_w.astype(x.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
         return out + proj_b.astype(x.dtype)
-    return mhsa_xla(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, key_padding_mask)
+    return mhsa_xla(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, key_padding_mask, causal)

@@ -92,10 +92,10 @@ def convert_order_transformer(state: Dict, layers: int = 4) -> dict:
     _set(params, "pad_embedding", _np(state["pad_embedding.weight"]))
     _set(params, "type_embedding", _np(state["type_embedding.weight"]))
     _set(params, "temporal_embedding", _np(state["temporalEmbedding.weight"]))
-    _set(params, "time_mlp/fc1/kernel", _np(state["time_mlp.1.weight"]).T)
-    _set(params, "time_mlp/fc1/bias", _np(state["time_mlp.1.bias"]))
-    _set(params, "time_mlp/fc2/kernel", _np(state["time_mlp.3.weight"]).T)
-    _set(params, "time_mlp/fc2/bias", _np(state["time_mlp.3.bias"]))
+    _set(params, "time_mlp_fc1/kernel", _np(state["time_mlp.1.weight"]).T)
+    _set(params, "time_mlp_fc1/bias", _np(state["time_mlp.1.bias"]))
+    _set(params, "time_mlp_fc2/kernel", _np(state["time_mlp.3.weight"]).T)
+    _set(params, "time_mlp_fc2/bias", _np(state["time_mlp.3.bias"]))
     for i in range(layers):
         src = f"temporalModelling.resblocks.{i}."
         dst = f"resblocks_{i}/"

@@ -74,6 +74,125 @@ class OracleDividedBlock(nn.Module):
         return x + h
 
 
+class OracleQuickGELU(nn.Module):
+    def forward(self, x):
+        return x * torch.sigmoid(1.702 * x)
+
+
+class OracleCLIPBlock(nn.Module):
+    """reference lib/models/tfm_model.py:32-53"""
+
+    def __init__(self, d, heads):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(d, heads, dropout=0.0)
+        self.ln_1 = nn.LayerNorm(d)
+        self.c_fc = nn.Linear(d, d * 4)
+        self.c_proj = nn.Linear(d * 4, d)
+        self.ln_2 = nn.LayerNorm(d)
+
+    def forward(self, x, pad_mask=None):
+        # x: [T, B, C]
+        y = self.ln_1(x)
+        x = x + self.attn(y, y, y, need_weights=False, key_padding_mask=pad_mask)[0]
+        h = self.c_proj(OracleQuickGELU()(self.c_fc(self.ln_2(x))))
+        return x + h
+
+
+class OracleOrderTransformer(nn.Module):
+    """reference lib/models/tfm_model.py:70-329"""
+
+    def __init__(self, num_seg=8, layers=4, heads=8, hidden=512, max_len=9):
+        super().__init__()
+        self.num_seg, self.layers, self.hidden, self.max_len = num_seg, layers, hidden, max_len
+        self.pad_embedding = nn.Embedding(1, hidden)
+        self.type_embedding = nn.Embedding(2, hidden)
+        self.temporalEmbedding = nn.Embedding(max_len, hidden)
+        self.resblocks = nn.ModuleList([OracleCLIPBlock(hidden, heads) for _ in range(layers)])
+        self.time_fc1 = nn.Linear(hidden // 4, hidden)
+        self.time_fc2 = nn.Linear(hidden, hidden)
+        betas = torch.linspace(1e-4, 0.02, layers)
+        alphas = 1.0 - betas
+        ac = torch.cumprod(alphas, dim=0)
+        self.sqrt_ac = torch.sqrt(ac)
+        self.sqrt_1mac = torch.sqrt(1.0 - ac)
+
+    def time_emb(self, t):
+        half = (self.hidden // 4) // 2
+        freqs = torch.exp(torch.arange(half) * -(math.log(10000.0) / (half - 1)))
+        args = t[:, None].float() * freqs[None]
+        emb = torch.cat([args.sin(), args.cos()], dim=-1)
+        return self.time_fc2(F.gelu(self.time_fc1(emb)))
+
+    def ennoise(self, x0, noise, t):
+        return self.sqrt_ac[t][:, None] * x0 + self.sqrt_1mac[t][:, None] * noise
+
+    def run_blocks(self, x, pad_mask):
+        for blk in self.resblocks:
+            x = blk(x, pad_mask)
+        return x
+
+    def level(self, feats, mask_inds, bs_inds, temp_emb, pad_mask, t):
+        # feats: [L, B, C]
+        L, B, C = feats.shape
+        type_emb = self.type_embedding(torch.zeros(L, B, dtype=torch.long))
+        type_emb[mask_inds, bs_inds] = self.type_embedding(torch.ones(B, dtype=torch.long))
+        x = feats + type_emb + temp_emb
+        x = x + self.time_emb(t).unsqueeze(0)
+        x = self.run_blocks(x, pad_mask)
+        return x[mask_inds, bs_inds]
+
+    def pretrain(self, x, mask_inds, pad_start, level_noise):
+        # x: [B*L, C] sample-major
+        L, C = self.max_len, self.hidden
+        B = x.shape[0] // L
+        feats = x.reshape(B, L, C).permute(1, 0, 2).contiguous()  # [L, B, C]
+        bs_inds = torch.arange(B)
+        temp_emb = self.temporalEmbedding(torch.arange(L)).unsqueeze(1).expand(L, B, C)
+
+        x0 = feats[mask_inds, bs_inds]
+        pad_mask = torch.zeros(B, L, dtype=torch.bool)
+        for i in range(B):
+            if pad_start[i] < L:
+                feats[pad_start[i]:, i] = self.pad_embedding.weight
+            pad_mask[i, pad_start[i]:] = True
+
+        denoised_list = []
+        denoised = None
+        for time_i in range(self.layers):
+            t_index = self.layers - 1 - time_i
+            t = torch.full((B,), t_index, dtype=torch.long)
+            noise = level_noise[time_i]
+            src = x0 if time_i == 0 else denoised
+            noisy = self.ennoise(src.detach(), noise, t)
+            lf = feats.clone()
+            lf[mask_inds, bs_inds] = noisy
+            denoised = self.level(lf, mask_inds, bs_inds, temp_emb, pad_mask, t)
+            denoised_list.append(denoised)
+        x0_exp = x0.unsqueeze(0).expand(self.layers, -1, -1).reshape(-1, C)
+        return denoised, x0_exp, torch.cat(denoised_list)
+
+    def forecast(self, x):
+        C = self.hidden
+        B = x.shape[0] // self.num_seg
+        feats = x.reshape(B, self.num_seg, C).permute(1, 0, 2).contiguous()
+        feats = torch.cat([feats, torch.zeros(1, B, C)], dim=0)
+        L = self.num_seg + 1
+        bs_inds = torch.arange(B)
+        mask_inds = torch.full((B,), self.max_len - 1, dtype=torch.long)
+        temp_emb = self.temporalEmbedding(torch.arange(self.max_len)).unsqueeze(1).expand(self.max_len, B, C)
+        denoised = None
+        cf = feats.clone()
+        for time_i in range(self.layers):
+            t_index = self.layers - 1 - time_i
+            t = torch.full((B,), t_index, dtype=torch.long)
+            if time_i != 0:
+                noisy = self.ennoise(denoised.detach(), torch.zeros(B, C), t)
+                cf = feats.clone()
+                cf[mask_inds, bs_inds] = noisy
+            denoised = self.level(cf, mask_inds, bs_inds, temp_emb, None, t)
+        return denoised
+
+
 class OracleTimeSformer(nn.Module):
     """reference lib/models/vit.py:183-423 (eval mode, matching resolution)"""
 
