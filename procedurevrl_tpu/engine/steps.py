@@ -1,0 +1,208 @@
+"""Compiled train / eval steps.
+
+One ``train_step = jit(grad(loss))`` per config — the TPU-native equivalent
+of the reference's per-iteration python loop body
+(reference ``tools/train_net.py:101-247``).  Differences by design:
+
+- the per-iteration LR is a traced schedule inside the step (no host sync);
+- gradient accumulation to GLOBAL_BATCH_SIZE is a ``lax.scan`` over
+  micro-batches inside the step (reference ``tools/train_net.py:176-192``
+  loops on the host), with the same mean-of-microbatch-grads semantics
+  (grads divided by num_iters);
+- DDP's all-reduce becomes the psum XLA inserts for the global-mean loss
+  when the batch is sharded over the ``data`` mesh axis;
+- metric all-reduce (reference ``:200,216,234``) is free: metrics are
+  computed on the global batch inside the jit.
+
+The returned functions are pure; compile them with ``jax.jit`` +
+``NamedSharding`` via ``compile_step``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from procedurevrl_tpu.engine import losses as L
+from procedurevrl_tpu.engine.mixup import Mixup
+from procedurevrl_tpu.parallel.mesh import batch_sharding, replicated
+from procedurevrl_tpu.utils import metrics as metrics_lib
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+        )
+
+
+def _model_rngs(rng: jax.Array, step: jax.Array) -> Dict[str, jax.Array]:
+    base = jax.random.fold_in(rng, step)
+    names = ("diffusion", "subset", "droppath", "dropout", "mixup")
+    keys = jax.random.split(base, len(names))
+    return dict(zip(names, keys))
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg,
+    label_emb: Optional[jnp.ndarray],
+    sched: Callable,
+    accum_steps: int = 1,
+) -> Callable:
+    """Build the train step for the task the config selects.
+
+    Batch pytree contract (leading axis = global batch; with accumulation
+    the leading axes are [accum_steps, global_micro_batch]):
+        frames: [B, ...] video (layout per model docstring);
+        labels: [B] int, or verb/noun int arrays for EPIC;
+        clip_text_ids / clip_vis_feat: pretraining meta, [B, M, 77]/[B, M, C].
+    """
+    is_pretrain = cfg.TRAIN.LABEL_EMB != "" and cfg.TRAIN.TEXT != ""
+    is_epic = cfg.TRAIN.DATASET == "Epickitchens"
+    loss_name = cfg.MODEL.LOSS_FUNC
+    topk = cfg.TRAIN.TOPK
+    label_emb_dev = None if label_emb is None else jnp.asarray(label_emb)
+    mixup_fn = (
+        Mixup(
+            mixup_alpha=cfg.MIXUP.ALPHA,
+            cutmix_alpha=cfg.MIXUP.CUTMIX_ALPHA,
+            prob=cfg.MIXUP.PROB,
+            switch_prob=cfg.MIXUP.SWITCH_PROB,
+            label_smoothing=0.1,
+            num_classes=cfg.MODEL.NUM_CLASSES,
+        )
+        if cfg.MIXUP.ENABLED
+        else None
+    )
+
+    def loss_and_metrics(params, batch, rngs):
+        frames = batch["frames"]
+        if is_pretrain:
+            meta = {
+                "clip_text_ids": batch["clip_text_ids"].reshape(
+                    -1, batch["clip_text_ids"].shape[-1]
+                ),
+                "clip_vis_feat": batch["clip_vis_feat"].reshape(
+                    -1, batch["clip_vis_feat"].shape[-1]
+                ),
+            }
+            student, teacher, mse_pair = model.apply(
+                {"params": params}, frames, text=meta, label_emb=label_emb_dev,
+                train=True, rngs=rngs,
+            )
+            loss, kl, mse = L.pretrain_loss(student, teacher, mse_pair, topk)
+            preds = jax.nn.softmax(student.astype(jnp.float32), axis=1)
+            labels = jnp.broadcast_to(
+                batch["labels"].reshape(-1)[:1], (preds.shape[0],)
+            )
+            top1, top5 = metrics_lib.topk_errors(
+                preds, labels, (1, min(5, preds.shape[0]))
+            )
+            return loss, {"loss": loss, "kl": kl, "mse": mse,
+                          "top1_err": top1, "top5_err": top5}
+        if is_epic:
+            v, n = model.apply({"params": params}, frames, train=True, rngs=rngs)
+            loss_fn = L.get_loss_func(loss_name if loss_name != "kldiv" else "cross_entropy")
+            loss, lv, ln = L.epic_loss(
+                v, n, batch["verb"], batch["noun"], loss_fn
+            )
+            v1, v5 = metrics_lib.topk_accuracies(v, batch["verb"], (1, 5))
+            n1, n5 = metrics_lib.topk_accuracies(n, batch["noun"], (1, 5))
+            a1, a5 = metrics_lib.multitask_topk_accuracies(
+                (v, n), (batch["verb"], batch["noun"]), (1, 5)
+            )
+            return loss, {"loss": loss, "verb_loss": lv, "noun_loss": ln,
+                          "verb_top1_acc": v1, "verb_top5_acc": v5,
+                          "noun_top1_acc": n1, "noun_top5_acc": n5,
+                          "top1_acc": a1, "top5_acc": a5}
+        # plain finetuning (COIN step cls / forecast / task cls)
+        labels = batch["labels"].reshape(-1)
+        if mixup_fn is not None:
+            frames, soft = mixup_fn(rngs["mixup"], frames, labels)
+            logits = model.apply({"params": params}, frames, train=True, rngs=rngs)
+            loss = L.soft_target_cross_entropy(logits, soft)
+        else:
+            logits = model.apply({"params": params}, frames, train=True, rngs=rngs)
+            if loss_name == "smooth":
+                loss = L.label_smoothing_cross_entropy(logits, labels, 0.2)
+            else:
+                loss = L.get_loss_func(loss_name)(logits, labels)
+        top1, top5 = metrics_lib.topk_errors(logits, labels, (1, 5))
+        return loss, {"loss": loss, "top1_err": top1, "top5_err": top5}
+
+    def train_step(state: TrainState, batch, rng: jax.Array):
+        rngs = _model_rngs(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
+
+        if accum_steps == 1:
+            (loss, metrics), grads = grad_fn(state.params, batch, rngs)
+        else:
+            def micro(carry, mb):
+                g_acc, m_acc = carry
+                (l, m), g = grad_fn(state.params, mb, rngs)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                m_acc = jax.tree_util.tree_map(jnp.add, m_acc, m)
+                return (g_acc, m_acc), None
+
+            zeros_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params
+            )
+            first = jax.tree_util.tree_map(lambda x: x[0], batch)
+            (_, m0), g0 = grad_fn(state.params, first, rngs)
+            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
+            (grads, metrics), _ = jax.lax.scan(micro, (g0, m0), rest)
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["lr"] = sched(state.step)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model, cfg, label_emb: Optional[jnp.ndarray]) -> Callable:
+    """Eval forward: returns post-softmax predictions
+    (reference ``lib/models/vit.py:355-357``)."""
+    label_emb_dev = None if label_emb is None else jnp.asarray(label_emb)
+
+    def eval_step(params, batch):
+        return model.apply(
+            {"params": params}, batch["frames"],
+            label_emb=label_emb_dev, train=False,
+        )
+
+    return eval_step
+
+
+def compile_step(fn, mesh, donate_state: bool = True):
+    """jit a (state, batch, rng) step with state replicated and batch
+    sharded over the data axis."""
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, data, rep),
+        donate_argnums=(0,) if donate_state else (),
+    )

@@ -1,0 +1,87 @@
+"""Device mesh + sharding policy.
+
+TPU-native replacement for the reference's NCCL data-parallel stack
+(reference ``lib/utils/distributed.py``, ``lib/utils/multiprocessing.py``,
+``lib/models/build.py:49-53``): instead of one process per accelerator with
+DDP gradient hooks, one process per *host* owns all local chips; a global
+2-D ``jax.sharding.Mesh`` with axes ``("data", "model")`` spans all chips,
+the batch is sharded over ``data``, parameters/optimizer state are
+replicated (the full ProcedureVRL model is ~200M params and fits per chip,
+matching the reference's pure-DP design — SURVEY.md §2.8), and XLA inserts
+the gradient ``psum`` over ICI where DDP used NCCL all-reduce.
+
+``model`` is carried for forward-compat (tensor-parallel sharding of the
+encoder MLPs at larger scales); all shipped configs run ``model=1``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def build_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: int = -1,
+    model: int = 1,
+) -> Mesh:
+    """Create the global device mesh.
+
+    Args:
+        devices: devices to use (default: all of ``jax.devices()``, which is
+            globally consistent across hosts after ``jax.distributed``).
+        data: data-axis size; -1 means all remaining devices.
+        model: model-axis size.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    if len(devices) == 1:
+        arr = np.asarray(devices).reshape(data, model)
+    else:
+        arr = mesh_utils.create_device_mesh((data, model), devices=list(devices))
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over the data axis (the DistributedSampler
+    equivalent at the array level; reference ``lib/datasets/utils.py:358-372``)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host-global batch pytree with the leading axis sharded
+    over ``data``. Arrays whose leading dim doesn't divide are replicated."""
+    ndata = mesh.shape[DATA_AXIS]
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        s = bs if x.ndim >= 1 and x.shape[0] % ndata == 0 else rep
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def local_batch_slice(global_batch: int, num_hosts: int, host_id: int) -> slice:
+    """Per-host shard of the global batch (per-host data loading;
+    reference DistributedSampler semantics)."""
+    assert global_batch % num_hosts == 0
+    per = global_batch // num_hosts
+    return slice(host_id * per, (host_id + 1) * per)

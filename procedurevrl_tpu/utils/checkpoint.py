@@ -1,0 +1,219 @@
+"""Checkpointing (reference ``lib/utils/checkpoint.py``).
+
+Native checkpoints are orbax-style msgpack trees written by the master host
+under ``OUTPUT_DIR/checkpoints/checkpoint_epoch_{:05d}`` with the same
+directory contract as the reference (periodic by ``TRAIN.CHECKPOINT_PERIOD``
++ always at the last epoch; AUTO_RESUME picks the newest).  Contents mirror
+the reference's ``{"epoch", "model_state", "optimizer_state", "cfg"}``
+(reference ``lib/utils/checkpoint.py:126-131``).
+
+PyTorch ``.pyth`` checkpoints from the reference model zoo load through
+``load_reference_checkpoint`` + the converters in ``utils/converter.py``
+(DDP prefix stripping per reference ``:224-227``; shape-filtered partial
+load with skipped-key logging per ``:369-390``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from procedurevrl_tpu.utils import logging as logging_util
+
+logger = logging_util.get_logger(__name__)
+
+
+def make_checkpoint_dir(path_to_job: str) -> str:
+    d = os.path.join(path_to_job, "checkpoints")
+    if jax.process_index() == 0:
+        os.makedirs(d, exist_ok=True)
+    return d
+
+
+def get_checkpoint_dir(path_to_job: str) -> str:
+    return os.path.join(path_to_job, "checkpoints")
+
+
+def get_path_to_checkpoint(path_to_job: str, epoch: int) -> str:
+    name = "checkpoint_epoch_{:05d}.pyth".format(epoch)
+    return os.path.join(get_checkpoint_dir(path_to_job), name)
+
+
+def get_last_checkpoint(path_to_job: str) -> Optional[str]:
+    d = get_checkpoint_dir(path_to_job)
+    names = (
+        [f for f in os.listdir(d) if "checkpoint" in f]
+        if os.path.isdir(d)
+        else []
+    )
+    if not names:
+        return None
+    return os.path.join(d, sorted(names)[-1])
+
+
+def has_checkpoint(path_to_job: str) -> bool:
+    return get_last_checkpoint(path_to_job) is not None
+
+
+def is_checkpoint_epoch(cfg, cur_epoch: int) -> bool:
+    """reference ``lib/utils/checkpoint.py:84-104`` (no multigrid schedule)."""
+    if cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH:
+        return True
+    return (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
+
+
+def save_checkpoint(path_to_job: str, state, cfg, epoch: int) -> Optional[str]:
+    """Master-host-only save of the TrainState + config."""
+    if jax.process_index() != 0:
+        return None
+    make_checkpoint_dir(path_to_job)
+    path = get_path_to_checkpoint(path_to_job, epoch + 1)
+    host_state = jax.device_get(state)
+    payload = {
+        "epoch": epoch,
+        "model_state": serialization.to_bytes(host_state.params),
+        "optimizer_state": serialization.to_bytes(host_state.opt_state),
+        "step": int(host_state.step),
+        "cfg": cfg.dump() if hasattr(cfg, "dump") else str(cfg),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    logger.info("Saved checkpoint to %s", path)
+    return path
+
+
+def load_checkpoint(path: str, state):
+    """Restore a native checkpoint into a TrainState template.
+
+    Returns (state, epoch)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    params = serialization.from_bytes(jax.device_get(state.params),
+                                      payload["model_state"])
+    opt_state = serialization.from_bytes(jax.device_get(state.opt_state),
+                                         payload["optimizer_state"])
+    import jax.numpy as jnp
+
+    state = state.replace(
+        params=params,
+        opt_state=opt_state,
+        step=jnp.asarray(payload.get("step", 0), jnp.int32),
+    )
+    return state, payload["epoch"]
+
+
+def load_train_checkpoint(cfg, state) -> Tuple[Any, int]:
+    """AUTO_RESUME / explicit-path loading (reference ``:543-570``).
+
+    Returns (state, start_epoch)."""
+    if cfg.TRAIN.AUTO_RESUME and has_checkpoint(cfg.OUTPUT_DIR):
+        last = get_last_checkpoint(cfg.OUTPUT_DIR)
+        logger.info("Load from last checkpoint, %s.", last)
+        state, epoch = load_checkpoint(last, state)
+        return state, epoch + 1
+    if cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        logger.info("Load from given checkpoint file %s.",
+                    cfg.TRAIN.CHECKPOINT_FILE_PATH)
+        if cfg.TRAIN.CHECKPOINT_TYPE == "pytorch" and cfg.TRAIN.CHECKPOINT_FILE_PATH.endswith(
+            (".pyth", ".pth", ".pt")
+        ):
+            params, epoch = load_reference_params(
+                cfg.TRAIN.CHECKPOINT_FILE_PATH, jax.device_get(state.params)
+            )
+            state = state.replace(params=params)
+            if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
+                return state, 0
+            return state, (epoch + 1 if epoch is not None else 0)
+        state, epoch = load_checkpoint(cfg.TRAIN.CHECKPOINT_FILE_PATH, state)
+        if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
+            return state, 0
+        return state, epoch + 1
+    return state, 0
+
+
+def load_test_checkpoint(cfg, state):
+    """reference ``lib/utils/checkpoint.py:505-540``."""
+    if cfg.TEST.CHECKPOINT_FILE_PATH:
+        path = cfg.TEST.CHECKPOINT_FILE_PATH
+    elif has_checkpoint(cfg.OUTPUT_DIR):
+        path = get_last_checkpoint(cfg.OUTPUT_DIR)
+    elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        path = cfg.TRAIN.CHECKPOINT_FILE_PATH
+    else:
+        logger.info(
+            "Unknown way of loading checkpoint. Using with random initialization, only for debugging."
+        )
+        return state
+    if path.endswith((".pyth", ".pth", ".pt")):
+        params, _ = load_reference_params(path, jax.device_get(state.params))
+        return state.replace(params=params)
+    state, _ = load_checkpoint(path, state)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# reference (.pyth) interop
+# ---------------------------------------------------------------------------
+
+
+def load_reference_state_dict(path: str) -> Tuple[Dict[str, np.ndarray], Optional[int]]:
+    """Read a reference ``.pyth`` file into a flat numpy state dict."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    epoch = None
+    if isinstance(blob, dict) and "model_state" in blob:
+        sd = blob["model_state"]
+        epoch = blob.get("epoch")
+    elif isinstance(blob, dict) and "state_dict" in blob:
+        sd = blob["state_dict"]
+    elif isinstance(blob, dict) and "model" in blob and hasattr(
+        next(iter(blob["model"].values()), None), "numpy"
+    ):
+        sd = blob["model"]
+    else:
+        sd = blob
+    out = {}
+    for k, v in sd.items():
+        out[k] = v.detach().cpu().float().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out, epoch
+
+
+def load_reference_params(path: str, params_template) -> Tuple[Any, Optional[int]]:
+    """Convert a full reference ProcedureVRL checkpoint into our param tree,
+    shape-filtered against the template (reference ``:369-390``)."""
+    from procedurevrl_tpu.utils.converter import convert_procedurevrl
+
+    state, epoch = load_reference_state_dict(path)
+    converted = convert_procedurevrl(state)
+    flat_t = flatten_dict(params_template, sep="/")
+    flat_c = flatten_dict(converted, sep="/")
+    merged = {}
+    missing, skipped = [], []
+    for k, tv in flat_t.items():
+        cv = flat_c.get(k)
+        if cv is None:
+            missing.append(k)
+            merged[k] = tv
+        elif tuple(np.shape(cv)) != tuple(np.shape(tv)):
+            skipped.append((k, np.shape(cv), np.shape(tv)))
+            merged[k] = tv
+        else:
+            merged[k] = np.asarray(cv, dtype=np.asarray(tv).dtype)
+    extra = set(flat_c) - set(flat_t)
+    if missing:
+        logger.info("Keys kept at init (not in checkpoint): %s",
+                    sorted(missing)[:20])
+    if skipped:
+        logger.info("Keys skipped for shape mismatch: %s", skipped[:20])
+    if extra:
+        logger.info("Checkpoint keys unused: %s", sorted(extra)[:20])
+    return unflatten_dict(merged, sep="/"), epoch

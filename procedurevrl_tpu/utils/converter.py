@@ -147,3 +147,94 @@ def convert_linear(state: Dict, key: str) -> dict:
         "kernel": _np(state[key + ".weight"]).T,
         "bias": _np(state[key + ".bias"]),
     }
+
+
+def _sub_state(state: Dict, prefix: str) -> Dict:
+    return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+def convert_procedurevrl(state: Dict) -> dict:
+    """Convert a full reference ProcedureVRL ``model_state`` into the
+    ``ProcedureVRL`` flax tree.
+
+    Reference checkpoint layout (``lib/models/vit.py:183-281,473-506``):
+    encoder params at the root (``patch_embed.*, blocks.*, norm.*,
+    cls_token, pos_embed, time_embed``) under a ``model.`` wrapper, plus
+    ``head``, ``order_tfm.*``, ``text_model.*``, and optional
+    ``head_cls/head_v/head_n``.
+    """
+    state = strip_prefixes(state)
+
+    params: dict = {}
+    enc_keys = {
+        k: v for k, v in state.items()
+        if k.split(".")[0]
+        in ("patch_embed", "blocks", "norm", "cls_token", "pos_embed", "time_embed")
+    }
+    depth = 1 + max(
+        (int(k.split(".")[1]) for k in enc_keys if k.startswith("blocks.")),
+        default=-1,
+    )
+    if enc_keys:
+        params["encoder"] = convert_timesformer(enc_keys, depth=depth)
+    if "head.weight" in state:
+        params["head"] = convert_linear(state, "head")
+    order = _sub_state(state, "order_tfm.")
+    if order:
+        layers = 1 + max(
+            int(k.split(".")[2]) for k in order if k.startswith("temporalModelling.resblocks.")
+        )
+        params["order_tfm"] = convert_order_transformer(order, layers=layers)
+    text = _sub_state(state, "text_model.")
+    if text:
+        layers = 1 + max(
+            int(k.split(".")[2]) for k in text if k.startswith("transformer.resblocks.")
+        )
+        params["text_model"] = convert_clip_text(text, layers=layers)
+    for head in ("head_cls", "head_v", "head_n"):
+        if head + ".weight" in state:
+            params[head] = convert_linear(state, head)
+    return params
+
+
+def convert_imagenet_vit(state: Dict, num_frames: int = 8) -> dict:
+    """Convert timm ImageNet ViT-B/16 weights into the TimeSformer tree
+    (the reference's ``load_pretrained`` + ``_conv_filter`` path,
+    ``lib/models/vit.py:462-471``, ``lib/models/helpers.py:100+``):
+    spatial blocks initialize both spatial and (shape-permitting) temporal
+    attention; ``temporal_fc`` and ``time_embed`` stay at their zero/trunc
+    init (the flax init already zeros ``temporal_fc`` for blocks > 0 only
+    via the reference's scheme — here they are absent from the mapping and
+    keep their template values)."""
+    state = strip_prefixes(state)
+    depth = 1 + max(
+        (int(k.split(".")[1]) for k in state if k.startswith("blocks.")),
+        default=-1,
+    )
+    params = convert_timesformer(
+        {k: v for k, v in state.items() if not k.startswith("head")}, depth=depth
+    )
+    # replicate spatial attention weights into the temporal attention slots
+    # (reference inflation: temporal attn initialized from spatial attn)
+    for i in range(depth):
+        src = f"blocks.{i}.attn."
+        blk = params[f"blocks_{i}"]
+        if "temporal_attn" not in blk and src + "qkv.weight" in state:
+            blk["temporal_attn"] = {
+                "qkv_kernel": _np(state[src + "qkv.weight"]).T,
+                "qkv_bias": _np(state[src + "qkv.bias"]),
+                "proj_kernel": _np(state[src + "proj.weight"]).T,
+                "proj_bias": _np(state[src + "proj.bias"]),
+            }
+        if "temporal_norm1" not in blk:
+            blk["temporal_norm1"] = {
+                "scale": _np(state[f"blocks.{i}.norm1.weight"]),
+                "bias": _np(state[f"blocks.{i}.norm1.bias"]),
+            }
+        if "temporal_fc" not in blk:
+            d = blk["mlp"]["fc2"]["bias"].shape[0]
+            blk["temporal_fc"] = {
+                "kernel": np.zeros((d, d), np.float32),
+                "bias": np.zeros((d,), np.float32),
+            }
+    return params

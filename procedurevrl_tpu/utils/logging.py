@@ -1,0 +1,73 @@
+"""Logging (reference ``lib/utils/logging.py:18-95``).
+
+Master-process-only python logging to stdout + ``OUTPUT_DIR/stdout.log``,
+JSON stats lines in the reference's ``json_stats: {...}`` format so existing
+log-scraping tooling keeps working.  "Master" is ``jax.process_index() == 0``
+(the reference used torch.distributed rank).
+"""
+
+from __future__ import annotations
+
+import builtins
+import decimal
+import functools
+import logging
+import os
+import sys
+from typing import Any, Dict
+
+import simplejson
+
+
+def _suppress_print():
+    def ignore(*args, **kwargs):
+        pass
+
+    builtins.print = ignore
+
+
+@functools.lru_cache(maxsize=None)
+def _configure(output_dir: str = ""):
+    import jax
+
+    is_master = jax.process_index() == 0
+    logger = logging.getLogger("procedurevrl_tpu")
+    logger.setLevel(logging.DEBUG if is_master else logging.ERROR)
+    logger.propagate = False
+    fmt = logging.Formatter(
+        "[%(asctime)s][%(levelname)s] %(filename)s: %(lineno)3d: %(message)s",
+        datefmt="%m/%d %H:%M:%S",
+    )
+    if is_master:
+        sh = logging.StreamHandler(stream=sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(output_dir, "stdout.log"))
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    else:
+        _suppress_print()
+    return logger
+
+
+def setup_logging(output_dir: str = "") -> logging.Logger:
+    return _configure(output_dir)
+
+
+def get_logger(name: str = "") -> logging.Logger:
+    base = logging.getLogger("procedurevrl_tpu")
+    if not base.handlers:
+        _configure("")
+    return base
+
+
+def log_json_stats(stats: Dict[str, Any]) -> None:
+    """reference ``lib/utils/logging.py:83-95``."""
+    stats = {
+        k: decimal.Decimal(f"{v:.5f}") if isinstance(v, float) else v
+        for k, v in stats.items()
+    }
+    json_stats = simplejson.dumps(stats, sort_keys=True, use_decimal=True)
+    get_logger().info("json_stats: {:s}".format(json_stats))

@@ -1,0 +1,64 @@
+"""Accuracy metrics (reference ``lib/utils/metrics.py:10-130,268``).
+
+Functions take logits/probabilities as jnp or np arrays and return python
+floats (or traced scalars when called inside jit — all ops are jnp).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def topks_correct(preds, labels, ks: Sequence[int]):
+    """Number of top-k-correct predictions for each k
+    (reference ``lib/utils/metrics.py:10-43``)."""
+    max_k = max(ks)
+    # indices of top max_k predictions, best first
+    top_inds = jnp.argsort(-preds, axis=1)[:, :max_k]  # [B, max_k]
+    correct = top_inds == labels[:, None]
+    return [jnp.sum(correct[:, :k]).astype(jnp.float32) for k in ks]
+
+
+def topk_errors(preds, labels, ks: Sequence[int]):
+    num_correct = topks_correct(preds, labels, ks)
+    return [(1.0 - x / preds.shape[0]) * 100.0 for x in num_correct]
+
+
+def topk_accuracies(preds, labels, ks: Sequence[int]):
+    num_correct = topks_correct(preds, labels, ks)
+    return [(x / preds.shape[0]) * 100.0 for x in num_correct]
+
+
+def multitask_topks_correct(preds: Tuple, labels: Tuple, ks: Sequence[int]):
+    """Joint (verb, noun) top-k: a sample counts when *both* tasks have the
+    true label inside their top-k (reference ``lib/utils/metrics.py:69-103``)."""
+    max_k = max(ks)
+    task_count = len(preds)
+    joint = None
+    for p, l in zip(preds, labels):
+        top_inds = jnp.argsort(-p, axis=1)[:, :max_k]  # [B, max_k]
+        correct = top_inds == l[:, None]  # [B, max_k]
+        # cumulative "within top-j" per sample
+        within = jnp.cumsum(correct, axis=1) > 0  # [B, max_k]
+        joint = within if joint is None else (joint & within)
+    return [jnp.sum(joint[:, k - 1]).astype(jnp.float32) for k in ks]
+
+
+def multitask_topk_accuracies(preds: Tuple, labels: Tuple, ks: Sequence[int]):
+    num_correct = multitask_topks_correct(preds, labels, ks)
+    return [(x / preds[0].shape[0]) * 100.0 for x in num_correct]
+
+
+def mean_class_recall(preds, labels, num_classes: int):
+    """Macro-averaged per-class recall (reference ``lib/utils/metrics.py:268``)."""
+    pred_cls = jnp.argmax(preds, axis=1)
+    correct = (pred_cls == labels).astype(jnp.float32)
+    per_class_correct = jnp.zeros(num_classes).at[labels].add(correct)
+    per_class_total = jnp.zeros(num_classes).at[labels].add(1.0)
+    recall = per_class_correct / jnp.maximum(per_class_total, 1.0)
+    present = per_class_total > 0
+    return jnp.sum(jnp.where(present, recall, 0.0)) / jnp.maximum(
+        jnp.sum(present), 1
+    ) * 100.0
