@@ -1,0 +1,119 @@
+"""Headline benchmark: ProcedureVRL order-pretraining throughput.
+
+Runs the REAL pretraining train step (TimeSformer-B 8-frame encoder over 9
+clips/sample, frozen CLIP text tower teacher, diffusion order transformer,
+KL+MSE loss, AdamW update) on synthetic device-resident data and reports
+clips/sec/chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured / analytic speed-of-light, where speed-of-light
+assumes 100% MXU utilization on the training matmul FLOPs (fwd + 2x bwd,
+no remat recompute counted) at the chip's peak bf16 throughput — i.e. it is
+the training MFU. The reference published no throughput (BASELINE.md), so
+the analytic bound is the yardstick.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def peak_tflops() -> float:
+    """Peak bf16 TFLOPs of the attached chip."""
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 394.0
+    if "v4" in kind:
+        return 275.0
+    if "v5p" in kind or "v5" in kind:
+        return 459.0
+    if "v6" in kind:
+        return 918.0
+    return 394.0
+
+
+def encoder_train_flops_per_clip(cfg) -> float:
+    """Matmul FLOPs for one clip's train step (fwd + 2x bwd)."""
+    from procedurevrl_tpu.utils.misc import flops_count_timesformer
+
+    return flops_count_timesformer(cfg) * 1e9 * 3.0
+
+
+def main():
+    from procedurevrl_tpu.config import get_cfg
+    from procedurevrl_tpu.engine.steps import TrainState, make_train_step
+    from procedurevrl_tpu.models.build import build_model
+    from procedurevrl_tpu.parallel.mesh import batch_sharding, build_mesh, replicated, shard_batch
+    from procedurevrl_tpu.solver import construct_optimizer, lr_schedule
+    from tools.train_net import init_params
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/HowTo100M/procedurevrl_adamw.yaml")
+    cfg.DEV.LOAD_DUMMY_DATA = True
+    cfg.OUTPUT_DIR = "/tmp/bench_out"
+
+    B = 2  # samples; each sample is ORDER_PRETRAIN_MAX_LEN = 9 clips
+    M = cfg.DEV.ORDER_PRETRAIN_MAX_LEN
+    T = cfg.DATA.NUM_FRAMES
+    S = cfg.DATA.TRAIN_CROP_SIZE
+
+    mesh = build_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
+    model, label_emb = build_model(cfg)
+    params = init_params(cfg, model, label_emb)
+    sched = lr_schedule(cfg, 1000)
+    tx = construct_optimizer(jax.device_get(params), cfg, sched)
+    state = TrainState.create(params, tx)
+    train_step = make_train_step(model, tx, cfg, label_emb, sched, 1)
+
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    step = jax.jit(train_step, in_shardings=(rep, data, rep),
+                   donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch = shard_batch(mesh, {
+        "frames": rng.randn(B, M, T, S, S, 3).astype(np.float32),
+        "labels": np.zeros((B,), np.int64),
+        "clip_text_ids": rng.randint(1, 49000, (B, M, 77)).astype(np.int64),
+        "clip_vis_feat": rng.randn(B, M, 512).astype(np.float32),
+    })
+    key = jax.device_put(jax.random.PRNGKey(0), rep)
+    state = jax.device_put(state, rep)
+
+    # warmup (compile)
+    for _ in range(2):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    clips_per_sec_chip = B * M * n_steps / dt / n_chips
+
+    flops_clip = encoder_train_flops_per_clip(cfg)
+    sol = peak_tflops() * 1e12 / flops_clip  # clips/sec/chip at 100% MFU
+    print(json.dumps({
+        "metric": "pretrain clips/sec/chip (TimeSformer-B 8f, order pretraining)",
+        "value": round(clips_per_sec_chip, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips_per_sec_chip / sol, 4),
+    }))
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

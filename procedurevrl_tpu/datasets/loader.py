@@ -1,0 +1,191 @@
+"""Data loader: per-host sharding + threaded decode + device prefetch.
+
+TPU-native replacement for ``torch.utils.data.DataLoader`` +
+``DistributedSampler`` (reference ``lib/datasets/loader.py:75-160``,
+``lib/datasets/utils.py:358-372``):
+
+- each *host* (not device) owns ``1/num_hosts`` of every global batch,
+  sliced from an epoch-seeded global permutation — identical sample-to-step
+  assignment as DistributedSampler with ``drop_last`` semantics;
+- a thread pool decodes samples concurrently (the decode work is
+  subprocess/cv2/numpy — GIL-free); batches are assembled in order and
+  pushed through a bounded prefetch queue so decode overlaps device compute
+  (the double-buffering the reference gets from DataLoader workers +
+  ``non_blocking`` copies);
+- the final partial test batch is padded to the static batch shape and the
+  number of valid rows is reported (XLA needs static shapes; the reference
+  just ran a smaller last batch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from procedurevrl_tpu.datasets.build import build_dataset
+from procedurevrl_tpu.utils import logging as logging_util
+
+logger = logging_util.get_logger(__name__)
+
+
+def _collate(samples) -> Tuple[Dict[str, np.ndarray], np.ndarray, Dict]:
+    """Stack (frames, label, index, meta) tuples into a batch dict."""
+    frames = np.stack([s[0] for s in samples])
+    labels0 = [s[1] for s in samples]
+    idx = np.asarray([s[2] for s in samples], np.int64)
+    batch = {"frames": frames, "index": idx}
+    if isinstance(labels0[0], dict):
+        batch["verb"] = np.asarray([l["verb"] for l in labels0], np.int64)
+        batch["noun"] = np.asarray([l["noun"] for l in labels0], np.int64)
+    else:
+        batch["labels"] = np.asarray(labels0, np.int64)
+    meta0 = samples[0][3]
+    extra_meta = {}
+    for k in meta0:
+        vals = [s[3][k] for s in samples]
+        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+            batch[k] = np.stack([np.asarray(v) for v in vals])
+        else:
+            extra_meta[k] = vals
+    return batch, idx, extra_meta
+
+
+class Loader:
+    """Iterable over host-local batches for one split."""
+
+    def __init__(
+        self,
+        dataset,
+        global_batch_size: int,
+        shuffle: bool,
+        drop_last: bool,
+        num_workers: int = 8,
+        prefetch_depth: int = 2,
+        num_hosts: int = 1,
+        host_id: int = 0,
+        seed: int = 0,
+    ):
+        assert global_batch_size % num_hosts == 0
+        self.dataset = dataset
+        self.global_batch = global_batch_size
+        self.local_batch = global_batch_size // num_hosts
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch_depth = max(prefetch_depth, 1)
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Reshuffle per epoch (reference ``loader.py:142-160``)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.global_batch
+        return (n + self.global_batch - 1) // self.global_batch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        return order
+
+    def __iter__(self) -> Iterator:
+        order = self._epoch_indices()
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                pending = []
+                for b in range(n_batches):
+                    if stop.is_set():
+                        break
+                    gb = order[b * self.global_batch : (b + 1) * self.global_batch]
+                    # this host's contiguous shard of the global batch
+                    local = gb[
+                        self.host_id * self.local_batch :
+                        (self.host_id + 1) * self.local_batch
+                    ]
+                    n_valid = len(local)
+                    if n_valid < self.local_batch:  # pad final partial batch
+                        pad = np.resize(local, self.local_batch - n_valid)
+                        local = np.concatenate([local, pad])
+                    futs = [pool.submit(self.dataset.__getitem__, int(i))
+                            for i in local]
+                    pending.append((futs, n_valid))
+                    # keep at most prefetch_depth batches in flight
+                    while len(pending) > self.prefetch_depth or (
+                        b == n_batches - 1 and pending
+                    ):
+                        futs0, nv0 = pending.pop(0)
+                        try:
+                            samples = [f.result() for f in futs0]
+                            batch, idx, extra = _collate(samples)
+                            out_q.put((batch, nv0, extra))
+                        except Exception as e:  # surface in consumer
+                            out_q.put(e)
+                            return
+            out_q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def construct_loader(cfg, split: str) -> Loader:
+    """Build the loader for a split (reference ``loader.py:75-140``)."""
+    import jax
+
+    assert split in ("train", "val", "test")
+    if split == "train":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = True, True
+    elif split == "val":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = False, True
+    else:
+        dataset_name = cfg.TEST.DATASET
+        batch_size = cfg.TEST.BATCH_SIZE
+        shuffle, drop_last = False, False
+
+    dataset = build_dataset(dataset_name, cfg, "val" if split == "val" else split)
+    return Loader(
+        dataset,
+        global_batch_size=batch_size,
+        shuffle=shuffle,
+        drop_last=drop_last,
+        num_workers=cfg.DATA_LOADER.NUM_WORKERS,
+        prefetch_depth=cfg.TPU.PREFETCH_DEPTH,
+        num_hosts=jax.process_count(),
+        host_id=jax.process_index(),
+        seed=cfg.RNG_SEED,
+    )
+
+
+def shuffle_dataset(loader: Loader, cur_epoch: int):
+    """reference ``loader.py:142-160``."""
+    loader.set_epoch(cur_epoch)

@@ -145,30 +145,10 @@ def make_train_step(
         return loss, {"loss": loss, "top1_err": top1, "top5_err": top5}
 
     def train_step(state: TrainState, batch, rng: jax.Array):
+        """Fused grad + update (the no-accumulation fast path)."""
         rngs = _model_rngs(rng, state.step)
         grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
-
-        if accum_steps == 1:
-            (loss, metrics), grads = grad_fn(state.params, batch, rngs)
-        else:
-            def micro(carry, mb):
-                g_acc, m_acc = carry
-                (l, m), g = grad_fn(state.params, mb, rngs)
-                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                m_acc = jax.tree_util.tree_map(jnp.add, m_acc, m)
-                return (g_acc, m_acc), None
-
-            zeros_g = jax.tree_util.tree_map(
-                lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params
-            )
-            first = jax.tree_util.tree_map(lambda x: x[0], batch)
-            (_, m0), g0 = grad_fn(state.params, first, rngs)
-            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
-            (grads, metrics), _ = jax.lax.scan(micro, (g0, m0), rest)
-            inv = 1.0 / accum_steps
-            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
-            metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
-
+        (_, metrics), grads = grad_fn(state.params, batch, rngs)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
@@ -179,6 +159,34 @@ def make_train_step(
             metrics,
         )
 
+    if accum_steps == 1:
+        return train_step
+
+    # ---- gradient accumulation to GLOBAL_BATCH_SIZE --------------------------
+    # (reference tools/train_net.py:176-192: accumulate num_iters micro-batch
+    # grads, divide by num_iters, then step). Exposed as (grad, apply) so the
+    # host loop streams micro-batches instead of staging [accum, B, ...] video
+    # in HBM.
+
+    def grad_step(params, step, grads_acc, batch, rng: jax.Array):
+        rngs = _model_rngs(rng, step)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True
+        )(params, batch, rngs)
+        grads = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+        return grads, metrics
+
+    def apply_step(state: TrainState, grads):
+        inv = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+
+    train_step.grad_step = grad_step
+    train_step.apply_step = apply_step
     return train_step
 
 

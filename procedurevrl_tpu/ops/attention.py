@@ -111,8 +111,14 @@ def mhsa(
     causal: bool = False,
     use_pallas: bool = False,
 ) -> jax.Array:
-    if use_pallas and key_padding_mask is None and not causal and x.shape[1] >= 128:
-        from procedurevrl_tpu.ops.pallas_attention import flash_mhsa
+    from procedurevrl_tpu.ops.pallas_attention import MAX_FUSED_LEN, flash_mhsa
+
+    if (
+        use_pallas
+        and key_padding_mask is None
+        and not causal
+        and 128 <= x.shape[1] <= MAX_FUSED_LEN
+    ):
 
         b, n, c = x.shape
         head_dim = c // num_heads

@@ -67,8 +67,8 @@ def lr_schedule(cfg, steps_per_epoch: int) -> Callable:
                 jnp.cos(jnp.pi * epoch / max_epoch) + 1.0
             ) * 0.5
     elif policy_name == "steps_with_relative_lrs":
-        steps = np.asarray(list(cfg.SOLVER.STEPS) + [max_epoch], np.float32)
-        lrs = np.asarray(cfg.SOLVER.LRS, np.float32)
+        steps = jnp.asarray(list(cfg.SOLVER.STEPS) + [max_epoch], jnp.float32)
+        lrs = jnp.asarray(np.asarray(cfg.SOLVER.LRS, np.float32))
 
         def policy(epoch):
             # index of the first step > epoch, minus one

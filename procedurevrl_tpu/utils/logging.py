@@ -34,6 +34,10 @@ def _configure(output_dir: str = ""):
     logger = logging.getLogger("procedurevrl_tpu")
     logger.setLevel(logging.DEBUG if is_master else logging.ERROR)
     logger.propagate = False
+    # reconfiguring (e.g. get_logger() warmed the bare config, then
+    # setup_logging(OUTPUT_DIR) runs) replaces handlers instead of stacking
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
     fmt = logging.Formatter(
         "[%(asctime)s][%(levelname)s] %(filename)s: %(lineno)3d: %(message)s",
         datefmt="%m/%d %H:%M:%S",

@@ -57,6 +57,15 @@ def parse_args(argv=None):
 
 def load_config(args):
     """Build the config: defaults -> YAML overlay -> CLI KEY VALUE overrides."""
+    import os
+
+    # Honor JAX_PLATFORMS even when a platform plugin (axon) is registered:
+    # the env var alone doesn't always win, the config flag does.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     cfg = get_cfg()
     if getattr(args, "cfg_file", None):
         cfg.merge_from_file(args.cfg_file)

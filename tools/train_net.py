@@ -1,0 +1,233 @@
+"""Training loop (reference ``tools/train_net.py``).
+
+One compiled ``train_step`` drives the whole epoch; the per-iteration host
+work is only batch transfer (sharded ``device_put``), metric fetch, and
+meter logging.  Supports the same three task modes as the reference:
+order pretraining (KLDiv + diffusion MSE), COIN finetuning (CE variants),
+EPIC verb+noun finetuning.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from procedurevrl_tpu.datasets import loader as loader_mod
+from procedurevrl_tpu.engine.steps import TrainState, compile_step, make_eval_step, make_train_step
+from procedurevrl_tpu.models.build import build_model
+from procedurevrl_tpu.parallel.mesh import batch_sharding, build_mesh, replicated, shard_batch
+from procedurevrl_tpu.solver import construct_optimizer, get_lr_at_epoch, lr_schedule
+from procedurevrl_tpu.utils import checkpoint as cu
+from procedurevrl_tpu.utils import logging as logging_util
+from procedurevrl_tpu.utils import meters as meters_mod
+from procedurevrl_tpu.utils import misc
+
+logger = logging_util.get_logger(__name__)
+
+
+def _init_shapes(cfg):
+    """Model input shape for parameter init, per task mode."""
+    B = 2
+    T = cfg.DATA.NUM_FRAMES
+    H = W = cfg.DATA.TRAIN_CROP_SIZE
+    if cfg.DEV.ORDER_PRETRAIN_ENABLED:
+        return (B, cfg.DEV.ORDER_PRETRAIN_MAX_LEN, T, H, W, 3)
+    if cfg.MODEL.NUM_SEG > 0:
+        return (B, cfg.MODEL.NUM_SEG * T, H, W, 3)
+    return (B, T, H, W, 3)
+
+
+def init_params(cfg, model, label_emb):
+    """Initialize params on device (traced through the training branch so
+    every head/embedding exists)."""
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    x = jnp.zeros(_init_shapes(cfg), jnp.float32)
+    kwargs = dict(train=False)
+    is_pretrain = cfg.TRAIN.LABEL_EMB != "" and cfg.TRAIN.TEXT != ""
+    if is_pretrain:
+        M = cfg.DEV.ORDER_PRETRAIN_MAX_LEN
+        kwargs = dict(
+            train=True,
+            text={
+                "clip_text_ids": jnp.zeros((2 * M, 77), jnp.int64),
+                "clip_vis_feat": jnp.zeros((2 * M, 512), jnp.float32),
+            },
+        )
+    if label_emb is not None:
+        kwargs["label_emb"] = jnp.asarray(label_emb)
+    rngs = {
+        "params": rng,
+        "diffusion": jax.random.fold_in(rng, 1),
+        "subset": jax.random.fold_in(rng, 2),
+        "droppath": jax.random.fold_in(rng, 3),
+    }
+    variables = jax.jit(
+        lambda: model.init(rngs, x, **kwargs),
+    )()
+    return variables["params"]
+
+
+def build_trainer(cfg):
+    """Build everything train() needs (reference ``train_net.py:380-414``)."""
+    mesh = build_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
+    model, label_emb = build_model(cfg)
+    train_loader = loader_mod.construct_loader(cfg, "train")
+    steps_per_epoch = max(len(train_loader), 1)
+
+    cur_global = cfg.TRAIN.BATCH_SIZE * max(jax.process_count(), 1)
+    accum = max(cfg.GLOBAL_BATCH_SIZE // max(cur_global, 1), 1)
+    opt_steps_per_epoch = max(steps_per_epoch // accum, 1)
+    sched = lr_schedule(cfg, opt_steps_per_epoch)
+    params = init_params(cfg, model, label_emb)
+    tx = construct_optimizer(jax.device_get(params), cfg, sched)
+    state = TrainState.create(params, tx)
+
+    train_step = make_train_step(model, tx, cfg, label_emb, sched, accum)
+    eval_step = make_eval_step(model, cfg, label_emb)
+    return (
+        mesh, model, label_emb, state, tx, train_step, eval_step,
+        train_loader, steps_per_epoch, accum, opt_steps_per_epoch,
+    )
+
+
+def train_epoch(
+    train_loader, state, compiled, cfg, cur_epoch, mesh, train_meter,
+    accum, rng, grad_apply=None,
+):
+    """One epoch (reference ``tools/train_net.py:56-247``)."""
+    data_size = len(train_loader)
+    train_meter.iter_tic()
+    is_epic = cfg.TRAIN.DATASET == "Epickitchens"
+    grads = None
+    for cur_iter, (batch, n_valid, _extra) in enumerate(train_loader):
+        batch.pop("index", None)
+        dev_batch = shard_batch(mesh, batch)
+        train_meter.data_toc()
+
+        if accum == 1:
+            state, metrics = compiled(state, dev_batch, rng)
+        else:
+            grad_fn, apply_fn, zeros_fn = grad_apply
+            if cur_iter % accum == 0:
+                grads = zeros_fn(state.params)
+            grads, metrics = grad_fn(state.params, state.step, grads, dev_batch, rng)
+            if (cur_iter + 1) % accum == 0:
+                state = apply_fn(state, grads)
+                grads = None
+
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        loss = metrics["loss"]
+        misc.check_nan_losses(loss)
+        lr = metrics.get(
+            "lr", get_lr_at_epoch(cfg, cur_epoch + float(cur_iter) / data_size)
+        )
+        mb = batch["frames"].shape[0] * max(jax.process_count(), 1)
+        if is_epic:
+            train_meter.update_stats(
+                metrics.get("top1_acc"), metrics.get("top5_acc"), loss, lr, mb,
+                extra={k: v for k, v in metrics.items()
+                       if k.startswith(("verb", "noun"))},
+            )
+        else:
+            train_meter.update_stats(
+                metrics.get("top1_err"), metrics.get("top5_err"), loss, lr, mb,
+                extra={k: v for k, v in metrics.items()
+                       if k in ("kl", "mse", "grad_norm")},
+            )
+        train_meter.iter_toc()
+        train_meter.log_iter_stats(cur_epoch, cur_iter)
+        train_meter.iter_tic()
+    train_meter.log_epoch_stats(cur_epoch)
+    train_meter.reset()
+    return state
+
+
+def eval_epoch(val_loader, state, eval_step, val_meter, cfg, cur_epoch, mesh):
+    """reference ``tools/train_net.py:252-344``."""
+    from procedurevrl_tpu.utils import metrics as metrics_lib
+
+    val_meter.iter_tic()
+    for cur_iter, (batch, n_valid, _extra) in enumerate(val_loader):
+        dev_batch = shard_batch(mesh, {"frames": batch["frames"]})
+        preds = jax.device_get(eval_step(state.params, dev_batch))
+        if isinstance(preds, tuple):  # EPIC
+            v1, v5 = metrics_lib.topk_accuracies(
+                jnp.asarray(preds[0]), jnp.asarray(batch["verb"]), (1, 5))
+            val_meter.update_stats(100.0 - float(v1), 100.0 - float(v5),
+                                   preds[0].shape[0])
+        else:
+            labels = jnp.asarray(batch["labels"].reshape(-1))
+            top1, top5 = metrics_lib.topk_errors(
+                jnp.asarray(preds), labels, (1, 5))
+            val_meter.update_stats(float(top1), float(top5), preds.shape[0])
+        val_meter.iter_toc()
+        val_meter.log_iter_stats(cur_epoch, cur_iter)
+        val_meter.iter_tic()
+    val_meter.log_epoch_stats(cur_epoch)
+    val_meter.reset()
+
+
+def train(cfg):
+    """Full training entry (reference ``tools/train_net.py:417-530``)."""
+    logging_util.setup_logging(cfg.OUTPUT_DIR)
+    logger.info("Train with config:")
+    logger.info(cfg)
+
+    (mesh, model, label_emb, state, tx, train_step, eval_step, train_loader,
+     steps_per_epoch, accum, _opt_steps) = build_trainer(cfg)
+    misc.log_model_info(state.params, cfg)
+
+    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    rng = jax.device_put(jax.random.PRNGKey(cfg.RNG_SEED), rep)
+    state = jax.device_put(state, rep)
+
+    if accum == 1:
+        compiled = jax.jit(train_step, in_shardings=(rep, data, rep),
+                           donate_argnums=(0,))
+        grad_apply = None
+    else:
+        compiled = None
+        grad_fn = jax.jit(train_step.grad_step,
+                          in_shardings=(rep, rep, rep, data, rep),
+                          donate_argnums=(2,))
+        apply_fn = jax.jit(train_step.apply_step, donate_argnums=(0, 1))
+        zeros_fn = jax.jit(
+            lambda p: jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), p
+            ),
+            out_shardings=rep,
+        )
+        grad_apply = (grad_fn, apply_fn, zeros_fn)
+
+    val_loader = (
+        loader_mod.construct_loader(cfg, "val")
+        if cfg.TRAIN.EVAL_PERIOD <= cfg.SOLVER.MAX_EPOCH else None
+    )
+    train_meter = meters_mod.TrainMeter(steps_per_epoch, cfg)
+    val_meter = meters_mod.ValMeter(
+        len(val_loader) if val_loader else 0, cfg
+    )
+
+    logger.info("Start epoch: %d", start_epoch + 1)
+    for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        loader_mod.shuffle_dataset(train_loader, cur_epoch)
+        state = train_epoch(
+            train_loader, state, compiled, cfg, cur_epoch, mesh, train_meter,
+            accum, rng, grad_apply,
+        )
+        if cu.is_checkpoint_epoch(cfg, cur_epoch):
+            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cfg, cur_epoch)
+        if val_loader is not None and misc.is_eval_epoch(cfg, cur_epoch):
+            try:
+                eval_epoch(val_loader, state, eval_step, val_meter, cfg,
+                           cur_epoch, mesh)
+            except (AssertionError, FileNotFoundError) as e:
+                logger.warning("eval_epoch skipped: %s", e)
+    logger.info("Training done.")
+    return state
