@@ -1,0 +1,648 @@
+"""MViT-v1/v2 video encoder, TPU-first.
+
+Re-design of the reference encoder (reference
+``lib/models/slowfast_mvit/mvit.py:30-406``, ``attention.py:14-568``,
+``stem_helper.py:290-321``) with the same math in idiomatic JAX:
+
+- channels-last everywhere: the 3-D stem and the depthwise pooling convs run
+  as ``lax.conv_general_dilated`` in NDHWC, the layout XLA:TPU prefers
+  (no NCTHW permutes in the hot path);
+- all token-grid shapes (thw per block) are static Python ints computed at
+  trace time, so every block compiles to fixed-shape MXU matmuls;
+- decomposed relative position tables are gathered with *static* numpy
+  index matrices (no dynamic gathers);
+- the attention-pool skip path uses ``lax.reduce_window`` max pooling.
+
+Geometry/semantics pinned 1:1: Q/K/V pooled with shared-per-head depthwise
+conv + LayerNorm (mode='conv'), residual Q pooling, dim_mul_in_att
+projection placement, CLS token excluded from pooling and re-attached.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from procedurevrl_tpu.models.layers import DropPath, LayerNormFp32, Mlp
+from procedurevrl_tpu.ops.common import trunc_normal_init
+
+
+def round_width(width, multiplier, min_width=1, divisor=1) -> int:
+    """reference ``lib/models/slowfast_mvit/utils.py:7-19``."""
+    if not multiplier:
+        return width
+    width *= multiplier
+    min_width = min_width or divisor
+    width_out = max(min_width, int(width + divisor / 2) // divisor * divisor)
+    if width_out < 0.9 * width:
+        width_out += divisor
+    return int(width_out)
+
+
+@dataclass(frozen=True, eq=True)
+class MViTConfig:
+    """Static architecture description resolved from the config tree
+    (mirrors the derivations in reference ``mvit.py:41-246``).
+
+    Frozen/hashable (sequence fields are tuples) so it can be a flax module
+    attribute and a static jit argument."""
+
+    spatial_size: int = 224
+    temporal_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 96
+    num_heads: int = 1
+    depth: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    mode: str = "conv"
+    cls_embed_on: bool = True
+    use_mean_pooling: bool = False
+    use_abs_pos: bool = False
+    sep_pos_embed: bool = False
+    use_fixed_sincos_pos: bool = False
+    rel_pos_spatial: bool = True
+    rel_pos_temporal: bool = True
+    residual_pooling: bool = True
+    dim_mul_in_att: bool = True
+    separate_qkv: bool = False
+    patch_kernel: Tuple[int, int, int] = (3, 7, 7)
+    patch_stride: Tuple[int, int, int] = (2, 4, 4)
+    patch_padding: Tuple[int, int, int] = (1, 3, 3)
+    dim_mul: Tuple = ()      # ((block, mult), ...)
+    head_mul: Tuple = ()
+    pool_q_stride: Tuple = ()   # ((block, st, sh, sw), ...)
+    pool_kv_stride: Tuple = ()
+    pool_kv_stride_adaptive: Optional[Tuple] = None
+    pool_kvq_kernel: Optional[Tuple] = None
+    norm_stem: bool = False
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "MViTConfig":
+        m = cfg.MVIT
+        return cls(
+            spatial_size=cfg.DATA.TRAIN_CROP_SIZE,
+            temporal_size=cfg.DATA.NUM_FRAMES,
+            in_chans=cfg.DATA.INPUT_CHANNEL_NUM[0],
+            embed_dim=m.EMBED_DIM,
+            num_heads=m.NUM_HEADS,
+            depth=m.DEPTH,
+            mlp_ratio=m.MLP_RATIO,
+            qkv_bias=m.QKV_BIAS,
+            drop_path_rate=m.DROPPATH_RATE,
+            mode=m.MODE,
+            cls_embed_on=m.CLS_EMBED_ON,
+            use_mean_pooling=m.USE_MEAN_POOLING,
+            use_abs_pos=m.USE_ABS_POS,
+            sep_pos_embed=m.SEP_POS_EMBED,
+            use_fixed_sincos_pos=m.USE_FIXED_SINCOS_POS,
+            rel_pos_spatial=m.REL_POS_SPATIAL,
+            rel_pos_temporal=m.REL_POS_TEMPORAL,
+            residual_pooling=m.RESIDUAL_POOLING,
+            dim_mul_in_att=m.DIM_MUL_IN_ATT,
+            separate_qkv=m.SEPARATE_QKV,
+            patch_kernel=tuple(m.PATCH_KERNEL),
+            patch_stride=tuple(m.PATCH_STRIDE),
+            patch_padding=tuple(m.PATCH_PADDING),
+            dim_mul=tuple(tuple(e) for e in m.DIM_MUL),
+            head_mul=tuple(tuple(e) for e in m.HEAD_MUL),
+            pool_q_stride=tuple(tuple(e) for e in m.POOL_Q_STRIDE),
+            pool_kv_stride=tuple(tuple(e) for e in m.POOL_KV_STRIDE),
+            pool_kv_stride_adaptive=None if m.POOL_KV_STRIDE_ADAPTIVE is None else tuple(m.POOL_KV_STRIDE_ADAPTIVE),
+            pool_kvq_kernel=None if m.POOL_KVQ_KERNEL is None else tuple(m.POOL_KVQ_KERNEL),
+            norm_stem=m.NORM_STEM,
+        )
+
+    def block_schedule(self):
+        """Per-block (dim, dim_out, heads, pool kernels/strides, input thw)
+        — the static plan the reference derives in ``mvit.py:141-246``."""
+        depth = self.depth
+        dim_mul = np.ones(depth + 1)
+        head_mul = np.ones(depth + 1)
+        for blk, mult in self.dim_mul:
+            dim_mul[blk] = mult
+        for blk, mult in self.head_mul:
+            head_mul[blk] = mult
+
+        pool_q = [[] for _ in range(depth)]
+        pool_kv = [[] for _ in range(depth)]
+        stride_q = [[] for _ in range(depth)]
+        stride_kv = [[] for _ in range(depth)]
+        for entry in self.pool_q_stride:
+            i = entry[0]
+            stride_q[i] = list(entry[1:])
+            pool_q[i] = (
+                list(self.pool_kvq_kernel)
+                if self.pool_kvq_kernel is not None
+                else [s + 1 if s > 1 else s for s in entry[1:]]
+            )
+        kv_entries = list(self.pool_kv_stride)
+        if self.pool_kv_stride_adaptive is not None:
+            _stride_kv = list(self.pool_kv_stride_adaptive)
+            kv_entries = []
+            for i in range(depth):
+                if len(stride_q[i]) > 0:
+                    _stride_kv = [
+                        max(_stride_kv[d] // stride_q[i][d], 1)
+                        for d in range(len(_stride_kv))
+                    ]
+                kv_entries.append([i] + _stride_kv)
+        for entry in kv_entries:
+            i = entry[0]
+            stride_kv[i] = list(entry[1:])
+            pool_kv[i] = (
+                list(self.pool_kvq_kernel)
+                if self.pool_kvq_kernel is not None
+                else [s + 1 if s > 1 else s for s in entry[1:]]
+            )
+
+        patch_dims = [
+            self.temporal_size // self.patch_stride[0],
+            self.spatial_size // self.patch_stride[1],
+            self.spatial_size // self.patch_stride[2],
+        ]
+        input_size = list(patch_dims)
+        plan = []
+        embed_dim = self.embed_dim
+        num_heads = self.num_heads
+        for i in range(depth):
+            num_heads = round_width(num_heads, head_mul[i])
+            if self.dim_mul_in_att:
+                dim_out = round_width(
+                    embed_dim, dim_mul[i],
+                    divisor=round_width(num_heads, head_mul[i]),
+                )
+            else:
+                dim_out = round_width(
+                    embed_dim, dim_mul[i + 1],
+                    divisor=round_width(num_heads, head_mul[i + 1]),
+                )
+            plan.append(dict(
+                dim=embed_dim, dim_out=dim_out, num_heads=num_heads,
+                kernel_q=tuple(pool_q[i]), kernel_kv=tuple(pool_kv[i]),
+                stride_q=tuple(stride_q[i]), stride_kv=tuple(stride_kv[i]),
+                input_size=tuple(input_size),
+            ))
+            if len(stride_q[i]) > 0:
+                input_size = [s // st for s, st in zip(input_size, stride_q[i])]
+            embed_dim = dim_out
+        return plan, patch_dims, embed_dim
+
+
+# ---------------------------------------------------------------------------
+# pooling ops
+# ---------------------------------------------------------------------------
+
+
+def _max_pool_3d(x: jax.Array, kernel, stride, padding) -> jax.Array:
+    """torch MaxPool3d(ceil_mode=False) on [B, T, H, W, C]."""
+    window = (1,) + tuple(kernel) + (1,)
+    strides = (1,) + tuple(stride) + (1,)
+    pads = ((0, 0),) + tuple((p, p) for p in padding) + ((0, 0),)
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max, window, strides, pads,
+    )
+
+
+def _avg_pool_3d(x: jax.Array, kernel, stride, padding) -> jax.Array:
+    """torch AvgPool3d(count_include_pad=True) on [B, T, H, W, C]."""
+    window = (1,) + tuple(kernel) + (1,)
+    strides = (1,) + tuple(stride) + (1,)
+    pads = ((0, 0),) + tuple((p, p) for p in padding) + ((0, 0),)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, pads)
+    return summed / float(np.prod(kernel))
+
+
+class DepthwisePool3D(nn.Module):
+    """The 'conv' pooling mode: depthwise 3-D conv over head channels,
+    shared across heads (reference ``attention.py:236-276``)."""
+
+    head_dim: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: [G, T, H, W, hd] -> pooled [G, T', H', W', hd]."""
+        w = self.param(
+            "kernel", trunc_normal_init(0.02),
+            tuple(self.kernel) + (1, self.head_dim), jnp.float32,
+        )
+        pads = tuple((k // 2, k // 2) for k in self.kernel)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=tuple(self.stride),
+            padding=pads,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=self.head_dim,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+
+
+def _pooled_thw(thw, kernel, stride) -> Tuple[int, int, int]:
+    """Output grid of a padded pool (pad = k//2, ceil_mode=False)."""
+    return tuple(
+        (d + 2 * (k // 2) - k) // s + 1
+        for d, k, s in zip(thw, kernel, stride)
+    )
+
+
+# ---------------------------------------------------------------------------
+# relative position biases (static index tables)
+# ---------------------------------------------------------------------------
+
+
+def _rel_dist_table(q_size: int, k_size: int) -> np.ndarray:
+    """Static relative-distance index matrix (reference ``attention.py:76-91``)."""
+    q_ratio = max(k_size / q_size, 1.0)
+    k_ratio = max(q_size / k_size, 1.0)
+    dist = (
+        np.arange(q_size)[:, None] * q_ratio
+        - np.arange(k_size)[None, :] * k_ratio
+    )
+    dist += (k_size - 1) * k_ratio
+    return dist.astype(np.int64)
+
+
+def _interp_rel_pos(rel_pos: jax.Array, d: int) -> jax.Array:
+    """Linear interpolation of the rel-pos table to length d (reference
+    ``attention.py:51-66``, torch F.interpolate(mode='linear'))."""
+    ori = rel_pos.shape[0]
+    if ori == d:
+        return rel_pos
+    # align_corners=False linear resize
+    pos = (jnp.arange(d) + 0.5) * ori / d - 0.5
+    lo = jnp.clip(jnp.floor(pos), 0, ori - 1).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, ori - 1)
+    frac = jnp.clip(pos - lo, 0.0, 1.0)[:, None]
+    return rel_pos[lo] * (1 - frac) + rel_pos[hi] * frac
+
+
+def add_rel_pos_spatial(attn, q, has_cls: bool, q_shape, k_shape,
+                        rel_pos_h, rel_pos_w):
+    """Decomposed spatial rel-pos (reference ``attention.py:67-117``).
+
+    attn: [B, H, qN, kN]; q: [B, H, qN, d]; shapes are static tuples.
+    """
+    sp = 1 if has_cls else 0
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    dh = int(2 * max(q_h, k_h) - 1)
+    dw = int(2 * max(q_w, k_w) - 1)
+    Rh = _interp_rel_pos(rel_pos_h, dh)[jnp.asarray(_rel_dist_table(q_h, k_h))]
+    Rw = _interp_rel_pos(rel_pos_w, dw)[jnp.asarray(_rel_dist_table(q_w, k_w))]
+
+    B, H = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    r_q = q[:, :, sp:].reshape(B, H, q_t, q_h, q_w, d)
+    rel_h = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+
+    body = attn[:, :, sp:, sp:].reshape(B, H, q_t, q_h, q_w, k_t, k_h, k_w)
+    body = (
+        body
+        + rel_h[:, :, :, :, :, None, :, None]
+        + rel_w[:, :, :, :, :, None, None, :]
+    ).reshape(B, H, q_t * q_h * q_w, k_t * k_h * k_w)
+    if sp:
+        attn = jnp.concatenate([
+            attn[:, :, :1, :],
+            jnp.concatenate([attn[:, :, 1:, :1], body], axis=3),
+        ], axis=2)
+    else:
+        attn = body
+    return attn
+
+
+def add_rel_pos_temporal(attn, q, has_cls: bool, q_shape, k_shape, rel_pos_t):
+    """Temporal rel-pos (reference ``attention.py:120-159``)."""
+    sp = 1 if has_cls else 0
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    dt = int(2 * max(q_t, k_t) - 1)
+    Rt = _interp_rel_pos(rel_pos_t, dt)[jnp.asarray(_rel_dist_table(q_t, k_t))]
+
+    B, H = q.shape[0], q.shape[1]
+    d = q.shape[-1]
+    r_q = q[:, :, sp:].reshape(B, H, q_t, q_h, q_w, d)
+    rel = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(q.dtype),
+                     preferred_element_type=jnp.float32)  # k over k_t
+
+    body = attn[:, :, sp:, sp:].reshape(B, H, q_t, q_h, q_w, k_t, k_h, k_w)
+    body = (body + rel[:, :, :, :, :, :, None, None]).reshape(
+        B, H, q_t * q_h * q_w, k_t * k_h * k_w
+    )
+    if sp:
+        attn = jnp.concatenate([
+            attn[:, :, :1, :],
+            jnp.concatenate([attn[:, :, 1:, :1], body], axis=3),
+        ], axis=2)
+    else:
+        attn = body
+    return attn
+
+
+# ---------------------------------------------------------------------------
+# attention / block
+# ---------------------------------------------------------------------------
+
+
+class MultiScaleAttention(nn.Module):
+    """Pooled multi-scale attention (reference ``attention.py:162-442``;
+    the shipped configs use mode='conv', pool_first=False, fused qkv)."""
+
+    dim: int
+    dim_out: int
+    input_size: Tuple[int, int, int]
+    num_heads: int = 8
+    qkv_bias: bool = False
+    kernel_q: Tuple = ()
+    kernel_kv: Tuple = ()
+    stride_q: Tuple = ()
+    stride_kv: Tuple = ()
+    mode: str = "conv"
+    has_cls_embed: bool = True
+    rel_pos_spatial: bool = False
+    rel_pos_temporal: bool = False
+    rel_pos_zero_init: bool = False
+    residual_pooling: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def _pool(self, name: str, x, thw, kernel, stride, with_norm=True):
+        """attention_pool (reference ``attention.py:14-48``): x [B, H, L, d];
+        returns pooled x + new static thw."""
+        if not kernel or (np.prod(kernel) == 1 and np.prod(stride) == 1):
+            return x, thw
+        B, H, L, d = x.shape
+        cls_tok = None
+        if self.has_cls_embed:
+            cls_tok, x = x[:, :, :1, :], x[:, :, 1:, :]
+        T, Hh, W = thw
+        grid = x.reshape(B * H, T, Hh, W, d)
+        if self.mode == "conv":
+            grid = DepthwisePool3D(d, kernel, stride, self.dtype,
+                                   name=f"pool_{name}")(grid)
+        elif self.mode == "max":
+            grid = _max_pool_3d(grid, kernel, stride, [k // 2 for k in kernel])
+        else:
+            grid = _avg_pool_3d(grid, kernel, stride, [k // 2 for k in kernel])
+        new_thw = _pooled_thw(thw, kernel, stride)
+        x = grid.reshape(B, H, int(np.prod(new_thw)), d)
+        if cls_tok is not None:
+            x = jnp.concatenate([cls_tok, x], axis=2)
+        if self.mode == "conv" and with_norm:
+            x = LayerNormFp32(eps=1e-6, name=f"norm_{name}")(x)
+        return x, new_thw
+
+    @nn.compact
+    def __call__(self, x: jax.Array, thw: Tuple[int, int, int]):
+        B, N, _ = x.shape
+        head_dim = self.dim_out // self.num_heads
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(3 * self.dim_out, use_bias=self.qkv_bias,
+                       dtype=self.dtype, kernel_init=trunc_normal_init(0.02),
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, H, N, d]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        q, q_shape = self._pool("q", q, thw, self.kernel_q, self.stride_q)
+        k, k_shape = self._pool("k", k, thw, self.kernel_kv, self.stride_kv)
+        v, v_shape = self._pool("v", v, thw, self.kernel_kv, self.stride_kv)
+
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        if self.rel_pos_spatial:
+            size = self.input_size[1]
+            q_size = size // self.stride_q[1] if self.stride_q else size
+            kv_size = size // self.stride_kv[1] if self.stride_kv else size
+            rel_sp_dim = 2 * max(q_size, kv_size) - 1
+            init = (nn.initializers.zeros if self.rel_pos_zero_init
+                    else trunc_normal_init(0.02))
+            rel_pos_h = self.param("rel_pos_h", init, (rel_sp_dim, head_dim),
+                                   jnp.float32)
+            rel_pos_w = self.param("rel_pos_w", init, (rel_sp_dim, head_dim),
+                                   jnp.float32)
+            attn = add_rel_pos_spatial(
+                attn, q, self.has_cls_embed, q_shape, k_shape,
+                rel_pos_h, rel_pos_w,
+            )
+        if self.rel_pos_temporal:
+            init = (nn.initializers.zeros if self.rel_pos_zero_init
+                    else trunc_normal_init(0.02))
+            rel_pos_t = self.param(
+                "rel_pos_t", init, (2 * self.input_size[0] - 1, head_dim),
+                jnp.float32,
+            )
+            attn = add_rel_pos_temporal(
+                attn, q, self.has_cls_embed, q_shape, k_shape, rel_pos_t
+            )
+        attn = jax.nn.softmax(attn, axis=-1)
+
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+
+        if self.residual_pooling:
+            # residual Q connection (reference :431-435)
+            if self.has_cls_embed:
+                out = jnp.concatenate(
+                    [out[:, :, :1, :], out[:, :, 1:, :] + q[:, :, 1:, :]], axis=2
+                )
+            else:
+                out = out + q
+
+        qN = out.shape[2]
+        out = out.transpose(0, 2, 1, 3).reshape(B, qN, self.dim_out)
+        out = nn.Dense(self.dim_out, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02), name="proj")(out)
+        return out, q_shape
+
+
+class MultiScaleBlock(nn.Module):
+    """reference ``attention.py:445-568``."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    input_size: Tuple[int, int, int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop_path_rate: float = 0.0
+    kernel_q: Tuple = ()
+    kernel_kv: Tuple = ()
+    stride_q: Tuple = ()
+    stride_kv: Tuple = ()
+    mode: str = "conv"
+    has_cls_embed: bool = True
+    rel_pos_spatial: bool = False
+    rel_pos_temporal: bool = False
+    rel_pos_zero_init: bool = False
+    residual_pooling: bool = False
+    dim_mul_in_att: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, thw, deterministic: bool = True):
+        att_dim = self.dim_out if self.dim_mul_in_att else self.dim
+        x_norm = LayerNormFp32(eps=1e-6, name="norm1")(x)
+        x_block, thw_new = MultiScaleAttention(
+            dim=self.dim, dim_out=att_dim, input_size=self.input_size,
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            kernel_q=self.kernel_q, kernel_kv=self.kernel_kv,
+            stride_q=self.stride_q, stride_kv=self.stride_kv,
+            mode=self.mode, has_cls_embed=self.has_cls_embed,
+            rel_pos_spatial=self.rel_pos_spatial,
+            rel_pos_temporal=self.rel_pos_temporal,
+            rel_pos_zero_init=self.rel_pos_zero_init,
+            residual_pooling=self.residual_pooling,
+            dtype=self.dtype, name="attn",
+        )(x_norm, thw)
+        dp = DropPath(self.drop_path_rate, name="drop_path")
+
+        if self.dim_mul_in_att and self.dim != self.dim_out:
+            x = nn.Dense(self.dim_out, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(0.02), name="proj")(x_norm)
+
+        # pooled skip connection (MaxPool3d, kernel = stride+1 where s>1)
+        if self.stride_q and np.prod(self.stride_q) > 1:
+            kernel_skip = [s + 1 if s > 1 else s for s in self.stride_q]
+            cls_tok = None
+            skip = x
+            if self.has_cls_embed:
+                cls_tok, skip = x[:, :1, :], x[:, 1:, :]
+            B = skip.shape[0]
+            d = skip.shape[-1]
+            grid = skip.reshape(B, *thw, d)
+            grid = _max_pool_3d(grid, kernel_skip, self.stride_q,
+                                [k // 2 for k in kernel_skip])
+            skip = grid.reshape(B, -1, d)
+            x_res = (jnp.concatenate([cls_tok, skip], axis=1)
+                     if cls_tok is not None else skip)
+        else:
+            x_res = x
+
+        x = x_res + dp(x_block, deterministic)
+        x_norm2 = LayerNormFp32(eps=1e-6, name="norm2")(x)
+        x_mlp = Mlp(int(att_dim * self.mlp_ratio), self.dim_out,
+                    dtype=self.dtype, name="mlp")(x_norm2)
+        if not self.dim_mul_in_att and self.dim != self.dim_out:
+            x = nn.Dense(self.dim_out, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(0.02), name="proj")(x_norm2)
+        x = x + dp(x_mlp, deterministic)
+        return x, thw_new
+
+
+class MViTEncoder(nn.Module):
+    """Full encoder (reference ``mvit.py:30-406``); returns the pooled
+    feature [B, D_final]."""
+
+    cfg: MViTConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 return_tokens: bool = False) -> jax.Array:
+        """x: [B, T, H, W, C] channels-last video."""
+        c = self.cfg
+        plan, patch_dims, final_dim = c.block_schedule()
+        B = x.shape[0]
+
+        # 3-D conv stem (reference stem_helper.py:290-321), NDHWC
+        w = self.param(
+            "patch_embed_kernel", trunc_normal_init(0.02),
+            tuple(c.patch_kernel) + (c.in_chans, c.embed_dim), jnp.float32,
+        )
+        b = self.param("patch_embed_bias", nn.initializers.zeros,
+                       (c.embed_dim,), jnp.float32)
+        pads = tuple((p, p) for p in c.patch_padding)
+        grid = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=tuple(c.patch_stride), padding=pads,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype) + b.astype(self.dtype)
+        T, H, W = grid.shape[1:4]
+        assert [T, H, W] == patch_dims, (grid.shape, patch_dims)
+        tokens = grid.reshape(B, T * H * W, c.embed_dim)
+
+        if c.cls_embed_on:
+            cls_token = self.param("cls_token", trunc_normal_init(0.02),
+                                   (1, 1, c.embed_dim), jnp.float32)
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls_token.astype(self.dtype),
+                                  (B, 1, c.embed_dim)), tokens], axis=1
+            )
+        if c.use_abs_pos:
+            if c.sep_pos_embed:
+                pe_s = self.param("pos_embed_spatial", trunc_normal_init(0.02),
+                                  (1, patch_dims[1] * patch_dims[2], c.embed_dim),
+                                  jnp.float32)
+                pe_t = self.param("pos_embed_temporal", trunc_normal_init(0.02),
+                                  (1, patch_dims[0], c.embed_dim), jnp.float32)
+                pe = (jnp.tile(pe_s, (1, patch_dims[0], 1))
+                      + jnp.repeat(pe_t, patch_dims[1] * patch_dims[2], axis=1))
+                if c.cls_embed_on:
+                    pe_c = self.param("pos_embed_class", trunc_normal_init(0.02),
+                                      (1, 1, c.embed_dim), jnp.float32)
+                    pe = jnp.concatenate([pe_c, pe], axis=1)
+            else:
+                n = tokens.shape[1]
+                pe = self.param("pos_embed", trunc_normal_init(0.02),
+                                (1, n, c.embed_dim), jnp.float32)
+            tokens = tokens + pe.astype(self.dtype)
+
+        if c.norm_stem:
+            tokens = LayerNormFp32(eps=1e-6, name="norm_stem")(tokens)
+
+        thw = tuple(patch_dims)
+        dpr = np.linspace(0, c.drop_path_rate, c.depth)
+        block_cls = MultiScaleBlock
+        if self.remat:
+            block_cls = nn.remat(MultiScaleBlock, static_argnums=(2, 3),
+                                 prevent_cse=False)
+        for i, spec in enumerate(plan):
+            tokens, thw = block_cls(
+                dim=spec["dim"], dim_out=spec["dim_out"],
+                num_heads=spec["num_heads"], input_size=spec["input_size"],
+                mlp_ratio=c.mlp_ratio, qkv_bias=c.qkv_bias,
+                drop_path_rate=float(dpr[i]),
+                kernel_q=spec["kernel_q"], kernel_kv=spec["kernel_kv"],
+                stride_q=spec["stride_q"], stride_kv=spec["stride_kv"],
+                mode=c.mode, has_cls_embed=c.cls_embed_on,
+                rel_pos_spatial=c.rel_pos_spatial,
+                rel_pos_temporal=c.rel_pos_temporal,
+                residual_pooling=c.residual_pooling,
+                dim_mul_in_att=c.dim_mul_in_att,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )(tokens, thw, deterministic)
+
+        norm = LayerNormFp32(eps=1e-6, name="norm")
+        if c.use_mean_pooling:
+            if c.cls_embed_on:
+                tokens = tokens[:, 1:]
+            return norm(tokens.mean(axis=1))
+        if c.cls_embed_on:
+            tokens = norm(tokens)
+            if return_tokens:
+                return tokens
+            return tokens[:, 0]
+        tokens = norm(tokens)
+        if return_tokens:
+            return tokens
+        return tokens.mean(axis=1)
