@@ -172,6 +172,15 @@ class Epickitchens:
             frames = decoder.decode_window(
                 path, record.start_sec, record.end_sec, self.cfg.DATA.NUM_FRAMES
             )
+        if self.mode == "train" and self.cfg.DATA.USE_RAND_AUGMENT:
+            # clip-consistent RandAugment on uint8 frames
+            # (reference epickitchens.py:149-162)
+            from procedurevrl_tpu.datasets.rand_augment import RandAugment
+
+            if not hasattr(self, "_rand_aug"):
+                policy = self.cfg.DATA.AUTO_AUGMENT or "rand-m9-n2-mstd0.5"
+                self._rand_aug = RandAugment.from_config_str(policy)
+            frames = self._rand_aug(frames.astype(np.uint8), rng)
         frames = transform.tensor_normalize(
             frames, self.cfg.DATA.MEAN, self.cfg.DATA.STD
         )

@@ -68,6 +68,7 @@ class Loader:
         num_hosts: int = 1,
         host_id: int = 0,
         seed: int = 0,
+        repeated_aug: int = 0,
     ):
         assert global_batch_size % num_hosts == 0
         self.dataset = dataset
@@ -80,6 +81,7 @@ class Loader:
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.seed = seed
+        self.repeated_aug = repeated_aug
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -99,6 +101,11 @@ class Loader:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
+        if self.repeated_aug > 1 and self.shuffle:
+            # RASampler semantics (reference lib/datasets/samplers.py:8):
+            # each sample appears `repeated_aug` times per epoch so different
+            # hosts/augmentations see the same clips; epoch length preserved.
+            order = np.repeat(order, self.repeated_aug)[:n]
         return order
 
     def __iter__(self) -> Iterator:
@@ -173,9 +180,11 @@ def construct_loader(cfg, split: str) -> Loader:
         shuffle, drop_last = False, False
 
     dataset = build_dataset(dataset_name, cfg, "val" if split == "val" else split)
+    # cfg batch sizes are per host (the reference's per-node BATCH_SIZE);
+    # the global per-step batch spans all hosts.
     return Loader(
         dataset,
-        global_batch_size=batch_size,
+        global_batch_size=batch_size * jax.process_count(),
         shuffle=shuffle,
         drop_last=drop_last,
         num_workers=cfg.DATA_LOADER.NUM_WORKERS,
@@ -183,6 +192,7 @@ def construct_loader(cfg, split: str) -> Loader:
         num_hosts=jax.process_count(),
         host_id=jax.process_index(),
         seed=cfg.RNG_SEED,
+        repeated_aug=3 if (split == "train" and cfg.DATA.USE_REPEATED_AUG) else 0,
     )
 
 

@@ -96,7 +96,7 @@ def build_trainer(cfg):
 
 def train_epoch(
     train_loader, state, compiled, cfg, cur_epoch, mesh, train_meter,
-    accum, rng, grad_apply=None,
+    accum, rng, grad_apply=None, writer=None,
 ):
     """One epoch (reference ``tools/train_net.py:56-247``)."""
     data_size = len(train_loader)
@@ -137,6 +137,11 @@ def train_epoch(
                 metrics.get("top1_err"), metrics.get("top5_err"), loss, lr, mb,
                 extra={k: v for k, v in metrics.items()
                        if k in ("kl", "mse", "grad_norm")},
+            )
+        if writer is not None and (cur_iter + 1) % cfg.LOG_PERIOD == 0:
+            writer.add_scalars(
+                {f"Train/{k}": v for k, v in metrics.items()},
+                global_step=cur_epoch * data_size + cur_iter,
             )
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)
@@ -213,13 +218,18 @@ def train(cfg):
     val_meter = meters_mod.ValMeter(
         len(val_loader) if val_loader else 0, cfg
     )
+    writer = None
+    if cfg.TENSORBOARD.ENABLE and jax.process_index() == 0:
+        from procedurevrl_tpu.visualization import TensorboardWriter
+
+        writer = TensorboardWriter(cfg)
 
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         loader_mod.shuffle_dataset(train_loader, cur_epoch)
         state = train_epoch(
             train_loader, state, compiled, cfg, cur_epoch, mesh, train_meter,
-            accum, rng, grad_apply,
+            accum, rng, grad_apply, writer,
         )
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
             cu.save_checkpoint(cfg.OUTPUT_DIR, state, cfg, cur_epoch)
@@ -229,5 +239,7 @@ def train(cfg):
                            cur_epoch, mesh)
             except (AssertionError, FileNotFoundError) as e:
                 logger.warning("eval_epoch skipped: %s", e)
+    if writer is not None:
+        writer.close()
     logger.info("Training done.")
     return state
