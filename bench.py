@@ -47,7 +47,15 @@ def encoder_train_flops_per_clip(cfg) -> float:
 
 
 def main():
+    import sys
+
+    def note(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
     from procedurevrl_tpu.config import get_cfg
+    from procedurevrl_tpu.utils.parser import enable_compilation_cache
+
+    enable_compilation_cache()
     from procedurevrl_tpu.engine.steps import TrainState, make_train_step
     from procedurevrl_tpu.models.build import build_model
     from procedurevrl_tpu.parallel.mesh import batch_sharding, build_mesh, replicated, shard_batch
@@ -66,7 +74,9 @@ def main():
 
     mesh = build_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
     model, label_emb = build_model(cfg)
+    note("initializing params")
     params = init_params(cfg, model, label_emb)
+    note("params ready")
     sched = lr_schedule(cfg, 1000)
     tx = construct_optimizer(jax.device_get(params), cfg, sched)
     state = TrainState.create(params, tx)
@@ -87,9 +97,11 @@ def main():
     state = jax.device_put(state, rep)
 
     # warmup (compile)
-    for _ in range(2):
+    note("compiling train step")
+    for i in range(2):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+        jax.block_until_ready(metrics["loss"])
+        note(f"warmup step {i} done")
 
     n_steps = 10
     t0 = time.perf_counter()

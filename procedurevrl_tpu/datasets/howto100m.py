@@ -245,20 +245,20 @@ class Howto100mDevelop:
                 )
         except Exception:
             return None
-        frames = transform.tensor_normalize(
-            frames, self.cfg.DATA.MEAN, self.cfg.DATA.STD
-        )
-        frames = transform.spatial_sampling(
+        # single fused native pass (normalize+resize+crop+flip) when the
+        # decoded frames are uint8; numpy fallback otherwise
+        return transform.spatial_sampling_fused(
             frames,
             spatial_idx=spatial_sample_index,
             min_scale=min_scale,
             max_scale=max_scale,
             crop_size=crop_size,
+            mean=self.cfg.DATA.MEAN,
+            std=self.cfg.DATA.STD,
             random_horizontal_flip=self.cfg.DATA.RANDOM_FLIP,
             inverse_uniform_sampling=self.cfg.DATA.INV_UNIFORM_SAMPLE,
             rng=rng,
         )
-        return frames.astype(np.float32)
 
     # ---------------------------------------------------------------- getitem
 

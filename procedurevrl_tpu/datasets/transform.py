@@ -182,6 +182,77 @@ def tensor_normalize(
     return (frames - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
+def _jitter_target_size(
+    frames_hw, min_size, max_size, inverse_uniform_sampling, rng
+):
+    """Sample the short-side target and return (new_h, new_w); mirrors
+    ``random_short_side_scale_jitter`` geometry."""
+    rng = rng or np.random
+    if inverse_uniform_sampling:
+        size = int(round(1.0 / rng.uniform(1.0 / max_size, 1.0 / min_size)))
+    else:
+        size = int(round(rng.uniform(min_size, max_size)))
+    height, width = frames_hw
+    if (width <= height and width == size) or (height <= width and height == size):
+        return height, width
+    if width < height:
+        return int(math.floor((float(height) / width) * size)), size
+    return size, int(math.floor((float(width) / height) * size))
+
+
+def spatial_sampling_fused(
+    frames: np.ndarray,
+    spatial_idx: int,
+    min_scale: int,
+    max_scale: int,
+    crop_size: int,
+    mean,
+    std,
+    random_horizontal_flip: bool = True,
+    inverse_uniform_sampling: bool = False,
+    rng: Optional[np.random.RandomState] = None,
+    n_threads: int = 4,
+) -> np.ndarray:
+    """Single-pass normalize+resize+crop+flip via the native library
+    (uint8 [T, H, W, C] in, float32 out).  Identical RNG decision sequence
+    to ``tensor_normalize`` + ``spatial_sampling``; falls back to the numpy
+    path when the native library or uint8 input is unavailable."""
+    from procedurevrl_tpu.datasets import videoproc
+
+    if frames.dtype != np.uint8 or not videoproc.available():
+        frames = tensor_normalize(frames, mean, std)
+        return spatial_sampling(
+            frames, spatial_idx=spatial_idx, min_scale=min_scale,
+            max_scale=max_scale, crop_size=crop_size,
+            random_horizontal_flip=random_horizontal_flip,
+            inverse_uniform_sampling=inverse_uniform_sampling, rng=rng,
+        ).astype(np.float32)
+
+    rng = rng or np.random
+    t, h, w, c = frames.shape
+    if spatial_idx == -1:
+        new_h, new_w = _jitter_target_size(
+            (h, w), min_scale, max_scale, inverse_uniform_sampling, rng
+        )
+        y = 0 if new_h == crop_size else int(rng.randint(0, new_h - crop_size))
+        x = 0 if new_w == crop_size else int(rng.randint(0, new_w - crop_size))
+        flip = bool(random_horizontal_flip and rng.uniform() < 0.5)
+    else:
+        new_h, new_w = _jitter_target_size(
+            (h, w), min_scale, max_scale, False, rng
+        )
+        y = int(math.ceil((new_h - crop_size) / 2))
+        x = int(math.ceil((new_w - crop_size) / 2))
+        if new_h > new_w:
+            y = {0: 0, 1: y, 2: new_h - crop_size}[spatial_idx]
+        else:
+            x = {0: 0, 1: x, 2: new_w - crop_size}[spatial_idx]
+        flip = False
+    return videoproc.fused_preprocess(
+        frames, new_h, new_w, y, x, crop_size, flip, mean, std, n_threads
+    )
+
+
 def spatial_sampling(
     frames: np.ndarray,
     spatial_idx: int = -1,

@@ -65,6 +65,7 @@ def load_config(args):
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    enable_compilation_cache()
 
     cfg = get_cfg()
     if getattr(args, "cfg_file", None):
@@ -79,3 +80,20 @@ def load_config(args):
         cfg.TPU.COORDINATOR_ADDRESS = args.init_method
 
     return cfg
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: full-model train steps take minutes
+    to compile; cache hits make reruns near-instant."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.cache/jax_comp")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
