@@ -1,0 +1,159 @@
+"""Engine: compiled train/eval steps on the 8-device CPU mesh — the
+multi-chip substitute (SURVEY.md §4): pjit sharding, global-batch metrics,
+gradient accumulation equivalence, zero-shot eval path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from procedurevrl_tpu.config import get_cfg
+from procedurevrl_tpu.engine.steps import TrainState, make_eval_step, make_train_step
+from procedurevrl_tpu.models.build import build_model
+from procedurevrl_tpu.parallel.mesh import batch_sharding, build_mesh, replicated, shard_batch
+from procedurevrl_tpu.solver import construct_optimizer, lr_schedule
+
+
+def _tiny_cls_cfg():
+    cfg = get_cfg()
+    cfg.DEV.LOAD_DUMMY_DATA = True
+    cfg.TRAIN.DATASET = "howto100m_develop"
+    cfg.TRAIN.LINEAR = False
+    cfg.MODEL.MODEL_NAME = "vit_base_patch16_224_develop"
+    cfg.MODEL.NUM_CLASSES = 8
+    cfg.MODEL.LOSS_FUNC = "cross_entropy"
+    cfg.TIMESFORMER.DEPTH = 1
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+    cfg.SOLVER.LR_POLICY = "cosine"
+    # logits are scaled by 1/DEV.TEMP = 50x in the finetune head, so keep
+    # the test LR small (the shipped configs use 5e-3)
+    cfg.SOLVER.BASE_LR = 5e-4
+    cfg.SOLVER.MAX_EPOCH = 100
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.REMAT = False
+    return cfg
+
+
+def _setup(cfg, accum=1):
+    from tools.train_net import init_params
+
+    mesh = build_mesh()
+    model, label_emb = build_model(cfg)
+    params = init_params(cfg, model, label_emb)
+    sched = lr_schedule(cfg, 100)
+    tx = construct_optimizer(jax.device_get(params), cfg, sched)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, cfg, label_emb, sched, accum)
+    return mesh, model, label_emb, state, step
+
+
+def test_train_step_learns_and_metrics_are_global():
+    cfg = _tiny_cls_cfg()
+    mesh, model, label_emb, state, step = _setup(cfg)
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    compiled = jax.jit(step, in_shardings=(rep, data, rep))
+
+    rng = np.random.RandomState(0)
+    frames = rng.randn(8, 2, 32, 32, 3).astype(np.float32)
+    labels = np.arange(8) % cfg.MODEL.NUM_CLASSES
+    batch = shard_batch(mesh, {"frames": frames, "labels": labels})
+    key = jax.device_put(jax.random.PRNGKey(0), rep)
+    state = jax.device_put(state, rep)
+
+    losses = []
+    for _ in range(8):
+        state, metrics = compiled(state, batch, key)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert 0.0 <= float(metrics["top1_err"]) <= 100.0
+    assert int(jax.device_get(state.step)) == 8
+
+
+def test_grad_accumulation_matches_big_batch():
+    """Two accumulated half-batches == one full batch step (same math as
+    reference tools/train_net.py:176-192 with grads / num_iters)."""
+    cfg = _tiny_cls_cfg()
+    cfg.SOLVER.MOMENTUM = 0.0
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    mesh, model, label_emb, state_a, step1 = _setup(cfg, accum=1)
+    _, _, _, state_b, step2 = _setup(cfg, accum=2)
+    # identical initial params
+    state_b = TrainState(step=state_b.step, params=state_a.params,
+                         opt_state=state_b.opt_state)
+
+    rng = np.random.RandomState(1)
+    frames = rng.randn(8, 2, 32, 32, 3).astype(np.float32)
+    labels = np.arange(8) % cfg.MODEL.NUM_CLASSES
+    key = jax.random.PRNGKey(0)
+
+    full = {"frames": jnp.asarray(frames), "labels": jnp.asarray(labels)}
+    state_a, _ = jax.jit(step1)(state_a, full, key)
+
+    zeros = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), state_b.params
+    )
+    grads = zeros
+    # the fused step uses rngs folded on state.step; both halves here see the
+    # same step (like the reference, which has no per-microbatch rng change)
+    for half in (slice(0, 4), slice(4, 8)):
+        mb = {"frames": jnp.asarray(frames[half]),
+              "labels": jnp.asarray(labels[half])}
+        grads, _ = jax.jit(step2.grad_step)(
+            state_b.params, state_b.step, grads, mb, key
+        )
+    state_b = jax.jit(step2.apply_step)(state_b, grads)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_zero_shot_eval_path_probabilities():
+    cfg = _tiny_cls_cfg()
+    cfg.DEV.MATCH_LANG_EMB = True
+    cfg.DEV.TEST_LANG_EMB = "/missing/bank.pth"  # dummy mode -> random bank
+    from tools.train_net import init_params
+
+    mesh = build_mesh()
+    model, label_emb = build_model(cfg)
+    assert label_emb is not None and label_emb.shape == (8, 512)
+    params = init_params(cfg, model, label_emb)
+    eval_step = jax.jit(
+        make_eval_step(model, cfg, label_emb),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+    )
+    frames = np.random.RandomState(0).randn(8, 2, 32, 32, 3).astype(np.float32)
+    probs = jax.device_get(
+        eval_step(jax.device_put(params, replicated(mesh)),
+                  shard_batch(mesh, {"frames": frames}))
+    )
+    assert probs.shape == (8, 8)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_zero_shot_forecasting_path():
+    cfg = _tiny_cls_cfg()
+    cfg.DEV.MATCH_LANG_EMB = True
+    cfg.DEV.TEST_LANG_EMB = "/missing/bank.pth"
+    cfg.MODEL.NUM_SEG = 4
+    from tools.train_net import init_params
+
+    mesh = build_mesh()
+    model, label_emb = build_model(cfg)
+    params = init_params(cfg, model, label_emb)
+    eval_step = jax.jit(
+        make_eval_step(model, cfg, label_emb),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+    )
+    # forecasting input: [B, M*T, H, W, C]
+    frames = np.random.RandomState(0).randn(8, 8, 32, 32, 3).astype(np.float32)
+    probs = jax.device_get(
+        eval_step(jax.device_put(params, replicated(mesh)),
+                  shard_batch(mesh, {"frames": frames}))
+    )
+    assert probs.shape == (8, 8)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
