@@ -62,12 +62,19 @@ def main():
     from procedurevrl_tpu.solver import construct_optimizer, lr_schedule
     from tools.train_net import init_params
 
+    import os as _os
+
     cfg = get_cfg()
     cfg.merge_from_file("configs/HowTo100M/procedurevrl_adamw.yaml")
     cfg.DEV.LOAD_DUMMY_DATA = True
     cfg.OUTPUT_DIR = "/tmp/bench_out"
+    if _os.environ.get("BENCH_REMAT"):
+        cfg.TPU.REMAT = _os.environ["BENCH_REMAT"] == "1"
+    if _os.environ.get("BENCH_PALLAS"):
+        cfg.TPU.USE_PALLAS_ATTENTION = _os.environ["BENCH_PALLAS"] == "1"
 
-    B = 2  # samples; each sample is ORDER_PRETRAIN_MAX_LEN = 9 clips
+    # samples per step; each sample is ORDER_PRETRAIN_MAX_LEN = 9 clips
+    B = int(_os.environ.get("BENCH_B", "2"))
     M = cfg.DEV.ORDER_PRETRAIN_MAX_LEN
     T = cfg.DATA.NUM_FRAMES
     S = cfg.DATA.TRAIN_CROP_SIZE

@@ -315,6 +315,10 @@ def _build_defaults() -> CfgNode:
     _C.TPU.REMAT = True
     # Number of host-pipeline prefetch buffers.
     _C.TPU.PREFETCH_DEPTH = 2
+    # Profiler: capture a device trace for steps [START, START+STEPS) of
+    # epoch 0 into OUTPUT_DIR/profile (view with tensorboard/xprof).
+    _C.TPU.PROFILE_STEPS = 0
+    _C.TPU.PROFILE_START = 10
     # jax.distributed coordinator (multi-host); empty = single host.
     _C.TPU.COORDINATOR_ADDRESS = ""
     _C.TPU.NUM_PROCESSES = 1

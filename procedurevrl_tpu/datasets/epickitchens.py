@@ -168,6 +168,8 @@ class Epickitchens:
             frames = r.randint(
                 0, 256, (self.cfg.DATA.NUM_FRAMES, 256, 456, 3), np.uint8
             )
+        elif self.cfg.DEV.EPIC_USE_FRAME_LOADER:
+            frames = self._pack_frames_from_dir(record, rng)
         else:
             frames = decoder.decode_window(
                 path, record.start_sec, record.end_sec, self.cfg.DATA.NUM_FRAMES
@@ -200,6 +202,36 @@ class Epickitchens:
             index,
             record.metadata,
         )
+
+    def _pack_frames_from_dir(self, record, rng):
+        """RGB-frame-directory loader (reference ``lib/datasets/frame_loader.py:31-63``):
+        sample NUM_FRAMES at SAMPLING_RATE within the action segment, clamped
+        to the segment, and read ``frame_{:010d}.jpg`` files."""
+        import cv2
+
+        fps = record.fps
+        T = self.cfg.DATA.NUM_FRAMES
+        sr = self.cfg.DATA.SAMPLING_RATE
+        seg_len = record.end_frame - record.start_frame
+        clip_len = T * sr * fps / self.target_fps
+        if self.mode in ("train", "train+val"):
+            offset = rng.uniform(0, max(seg_len - clip_len, 0))
+        else:
+            offset = max(seg_len - clip_len, 0) / 2.0
+        idx = record.start_frame + offset + np.arange(T) * sr * fps / self.target_fps
+        idx = np.clip(np.round(idx), record.start_frame,
+                      record.end_frame - 1).astype(int)
+        frame_dir = os.path.join(
+            self.cfg.EPICKITCHENS.VISUAL_DATA_DIR, record.participant,
+            "rgb_frames", record.untrimmed_video_name,
+        )
+        frames = []
+        for i in idx:
+            img = cv2.imread(os.path.join(frame_dir, f"frame_{i + 1:010d}.jpg"))
+            if img is None:
+                raise RuntimeError(f"missing frame {i} in {frame_dir}")
+            frames.append(img[:, :, ::-1])
+        return np.stack(frames)
 
     def _frames_augmentation(self, frames, rng):
         """Color jitter + random grayscale (reference ``epickitchens.py:373-389``)."""

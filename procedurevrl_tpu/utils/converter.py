@@ -166,6 +166,11 @@ def convert_procedurevrl(state: Dict) -> dict:
     state = strip_prefixes(state)
 
     params: dict = {}
+    mvit_keys = _sub_state(state, "video_encoder.")
+    if mvit_keys:
+        # MViT variant nests the encoder as ``video_encoder``
+        # (reference lib/models/mvit.py:67)
+        params["encoder"] = convert_mvit(mvit_keys)
     enc_keys = {
         k: v for k, v in state.items()
         if k.split(".")[0]
@@ -175,7 +180,7 @@ def convert_procedurevrl(state: Dict) -> dict:
         (int(k.split(".")[1]) for k in enc_keys if k.startswith("blocks.")),
         default=-1,
     )
-    if enc_keys:
+    if enc_keys and not mvit_keys:
         params["encoder"] = convert_timesformer(enc_keys, depth=depth)
     if "head.weight" in state:
         params["head"] = convert_linear(state, "head")
@@ -195,6 +200,89 @@ def convert_procedurevrl(state: Dict) -> dict:
         if head + ".weight" in state:
             params[head] = convert_linear(state, head)
     return params
+
+
+def convert_mvit(state: Dict) -> dict:
+    """Convert a reference MViT encoder state dict (keys like
+    ``patch_embed.proj.weight``, ``blocks.0.attn.pool_q.weight``,
+    ``blocks.0.attn.rel_pos_h``; reference
+    ``lib/models/slowfast_mvit/mvit.py``) into the ``MViTEncoder`` tree."""
+    params: dict = {}
+    w = _np(state["patch_embed.proj.weight"])  # [D, C, kt, kh, kw]
+    _set(params, "patch_embed_kernel", w.transpose(2, 3, 4, 1, 0))
+    _set(params, "patch_embed_bias", _np(state["patch_embed.proj.bias"]))
+    if "cls_token" in state:
+        _set(params, "cls_token", _np(state["cls_token"]))
+    for key in ("pos_embed", "pos_embed_spatial", "pos_embed_temporal",
+                "pos_embed_class"):
+        if key in state:
+            _set(params, key, _np(state[key]))
+    depth = 1 + max(
+        (int(k.split(".")[1]) for k in state if k.startswith("blocks.")),
+        default=-1,
+    )
+    for i in range(depth):
+        src = f"blocks.{i}."
+        dst = f"blocks_{i}/"
+        for ln in ("norm1", "norm2"):
+            _set(params, dst + ln + "/scale", _np(state[src + ln + ".weight"]))
+            _set(params, dst + ln + "/bias", _np(state[src + ln + ".bias"]))
+        _set(params, dst + "attn/qkv/kernel", _np(state[src + "attn.qkv.weight"]).T)
+        if src + "attn.qkv.bias" in state:
+            _set(params, dst + "attn/qkv/bias", _np(state[src + "attn.qkv.bias"]))
+        _set(params, dst + "attn/proj/kernel", _np(state[src + "attn.proj.weight"]).T)
+        _set(params, dst + "attn/proj/bias", _np(state[src + "attn.proj.bias"]))
+        for p in ("q", "k", "v"):
+            wk = src + f"attn.pool_{p}.weight"
+            if wk in state:
+                pw = _np(state[wk])  # [hd, 1, kt, kh, kw] depthwise
+                _set(params, dst + f"attn/pool_{p}/kernel",
+                     pw.transpose(2, 3, 4, 1, 0))
+                _set(params, dst + f"attn/norm_{p}/scale",
+                     _np(state[src + f"attn.norm_{p}.weight"]))
+                _set(params, dst + f"attn/norm_{p}/bias",
+                     _np(state[src + f"attn.norm_{p}.bias"]))
+        for rp in ("rel_pos_h", "rel_pos_w", "rel_pos_t"):
+            if src + "attn." + rp in state:
+                _set(params, dst + "attn/" + rp, _np(state[src + "attn." + rp]))
+        if src + "proj.weight" in state:
+            _set(params, dst + "proj/kernel", _np(state[src + "proj.weight"]).T)
+            _set(params, dst + "proj/bias", _np(state[src + "proj.bias"]))
+        _set(params, dst + "mlp/fc1/kernel", _np(state[src + "mlp.fc1.weight"]).T)
+        _set(params, dst + "mlp/fc1/bias", _np(state[src + "mlp.fc1.bias"]))
+        _set(params, dst + "mlp/fc2/kernel", _np(state[src + "mlp.fc2.weight"]).T)
+        _set(params, dst + "mlp/fc2/bias", _np(state[src + "mlp.fc2.bias"]))
+    if "norm.weight" in state:
+        _set(params, "norm/scale", _np(state["norm.weight"]))
+        _set(params, "norm/bias", _np(state["norm.bias"]))
+    return params
+
+
+def inflate_mvit_in1k(state: Dict, time_kernel: int = 3,
+                      rel_pos_lens: Dict[str, int] = None) -> Dict:
+    """Image MViT-v2 -> video: repeat conv weights over the new time axis
+    and linearly resize rel-pos tables (reference
+    ``lib/models/helpers.py:126-145``). Returns a torch-layout state dict
+    to feed ``convert_mvit``."""
+    out = {}
+    for key, v in state.items():
+        v = _np(v)
+        if "pool_" in key or "patch_embed.proj.weight" in key:
+            # [D, C, kh, kw] -> [D, C, t, kh, kw]
+            out[key] = np.repeat(v[:, :, None, :, :], time_kernel, axis=2)
+        elif "rel_pos_" in key and rel_pos_lens and key in rel_pos_lens:
+            d = rel_pos_lens[key]
+            ori = v.shape[0]
+            if ori != d:
+                pos = (np.arange(d) + 0.5) * ori / d - 0.5
+                lo = np.clip(np.floor(pos), 0, ori - 1).astype(int)
+                hi = np.clip(lo + 1, 0, ori - 1)
+                frac = np.clip(pos - lo, 0, 1)[:, None]
+                v = v[lo] * (1 - frac) + v[hi] * frac
+            out[key] = v
+        else:
+            out[key] = v
+    return out
 
 
 def convert_imagenet_vit(state: Dict, num_frames: int = 8) -> dict:

@@ -103,7 +103,17 @@ def train_epoch(
     train_meter.iter_tic()
     is_epic = cfg.TRAIN.DATASET == "Epickitchens"
     grads = None
+    profile_range = (
+        range(cfg.TPU.PROFILE_START,
+              cfg.TPU.PROFILE_START + cfg.TPU.PROFILE_STEPS)
+        if cfg.TPU.PROFILE_STEPS > 0 and cur_epoch == 0
+        and jax.process_index() == 0 else range(0)
+    )
     for cur_iter, (batch, n_valid, _extra) in enumerate(train_loader):
+        if profile_range and cur_iter == profile_range.start:
+            jax.profiler.start_trace(f"{cfg.OUTPUT_DIR}/profile")
+        if profile_range and cur_iter == profile_range.stop:
+            jax.profiler.stop_trace()
         batch.pop("index", None)
         dev_batch = shard_batch(mesh, batch)
         train_meter.data_toc()
