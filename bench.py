@@ -96,8 +96,8 @@ def main():
     rng = np.random.RandomState(0)
     batch = shard_batch(mesh, {
         "frames": rng.randn(B, M, T, S, S, 3).astype(np.float32),
-        "labels": np.zeros((B,), np.int64),
-        "clip_text_ids": rng.randint(1, 49000, (B, M, 77)).astype(np.int64),
+        "labels": np.zeros((B,), np.int32),
+        "clip_text_ids": rng.randint(1, 49000, (B, M, 77)).astype(np.int32),
         "clip_vis_feat": rng.randn(B, M, 512).astype(np.float32),
     })
     key = jax.device_put(jax.random.PRNGKey(0), rep)

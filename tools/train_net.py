@@ -53,7 +53,7 @@ def init_params(cfg, model, label_emb):
         kwargs = dict(
             train=True,
             text={
-                "clip_text_ids": jnp.zeros((2 * M, 77), jnp.int64),
+                "clip_text_ids": jnp.zeros((2 * M, 77), jnp.int32),
                 "clip_vis_feat": jnp.zeros((2 * M, 512), jnp.float32),
             },
         )
