@@ -17,7 +17,6 @@ import os
 import pickle
 
 import jax
-import numpy as np
 
 from procedurevrl_tpu.datasets import loader as loader_mod
 from procedurevrl_tpu.engine.steps import TrainState, make_eval_step

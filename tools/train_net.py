@@ -9,15 +9,13 @@ EPIC verb+noun finetuning.
 
 from __future__ import annotations
 
-import math
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from procedurevrl_tpu.datasets import loader as loader_mod
-from procedurevrl_tpu.engine.steps import TrainState, compile_step, make_eval_step, make_train_step
+from procedurevrl_tpu.engine.steps import TrainState, make_eval_step, make_train_step
 from procedurevrl_tpu.models.build import build_model
 from procedurevrl_tpu.parallel.mesh import batch_sharding, build_mesh, replicated, shard_batch
 from procedurevrl_tpu.solver import construct_optimizer, get_lr_at_epoch, lr_schedule
