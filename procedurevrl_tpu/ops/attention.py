@@ -1,10 +1,12 @@
 """Multi-head self-attention compute paths.
 
-``mhsa_xla`` is the reference XLA path (einsum attention; XLA fuses the
-softmax chain and maps the matmuls onto the MXU).  ``mhsa`` dispatches to the
-fused Pallas flash-attention kernel for shapes where it wins (long spatial
-sequences) and falls back to XLA otherwise (tiny temporal sequences, where a
-kernel launch costs more than it saves).
+``mhsa_xla`` is the XLA path: head-middle einsum attention on ``[B, N, H, d]``
+reshapes (no materialized split-heads/merge-heads transposes; XLA folds the
+head axis into the matmul batch dims).  ``mhsa`` dispatches to the fused
+Pallas flash-attention kernel for the long-sequence spatial pass — which
+additionally consumes the qkv projection output layout directly — and falls
+back to XLA for tiny temporal sequences, masked/causal attention (CLIP text
+tower), and sequences past the fused-kernel VMEM budget.
 
 Semantics pin the reference ``Attention.forward`` (reference
 ``lib/models/vit.py:75-92``): fused qkv projection, scale = head_dim**-0.5,
@@ -13,20 +15,8 @@ softmax over keys in float32, output projection.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-
-
-def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
-    b, n, c = x.shape
-    return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
-
-
-def merge_heads(x: jax.Array) -> jax.Array:
-    b, h, n, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
 def attention_core(
@@ -61,6 +51,20 @@ def attention_core(
     ).astype(v.dtype)
 
 
+def _qkv_project(x, qkv_w, qkv_b):
+    qkv = jnp.einsum("bnc,cd->bnd", x, qkv_w.astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if qkv_b is not None:
+        qkv = qkv + qkv_b.astype(x.dtype)
+    return jnp.split(qkv, 3, axis=-1)
+
+
+def _out_project(out, proj_w, proj_b):
+    out = jnp.einsum("bnc,cd->bnd", out, proj_w.astype(out.dtype),
+                     preferred_element_type=jnp.float32).astype(out.dtype)
+    return out + proj_b.astype(out.dtype)
+
+
 def mhsa_xla(
     x: jax.Array,
     qkv_w: jax.Array,
@@ -71,7 +75,7 @@ def mhsa_xla(
     key_padding_mask: jax.Array | None = None,
     causal: bool = False,
 ) -> jax.Array:
-    """Fused-projection self-attention.
+    """Fused-projection self-attention, transpose-free head handling.
 
     Args:
         x: [B, N, C].
@@ -81,23 +85,24 @@ def mhsa_xla(
     b, n, c = x.shape
     head_dim = c // num_heads
     scale = head_dim ** -0.5
-    qkv = jnp.einsum("bnc,cd->bnd", x, qkv_w.astype(x.dtype),
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    if qkv_b is not None:
-        qkv = qkv + qkv_b.astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    out = attention_core(
-        split_heads(q, num_heads),
-        split_heads(k, num_heads),
-        split_heads(v, num_heads),
-        scale,
-        key_padding_mask,
-        causal,
-    )
-    out = merge_heads(out)
-    out = jnp.einsum("bnc,cd->bnd", out, proj_w.astype(x.dtype),
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    return out + proj_b.astype(x.dtype)
+    q, k, v = _qkv_project(x, qkv_w, qkv_b)
+    split = lambda t: t.reshape(b, n, num_heads, head_dim)
+    q, k, v = split(q), split(k), split(v)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=logits.dtype)
+    if key_padding_mask is not None:
+        logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+    if causal:
+        tri = jnp.tril(jnp.ones((n, n), dtype=bool))
+        logits = jnp.where(tri[None, None], logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(b, n, c)
+    return _out_project(out, proj_w, proj_b)
 
 
 def mhsa(
@@ -111,7 +116,9 @@ def mhsa(
     causal: bool = False,
     use_pallas: bool = False,
 ) -> jax.Array:
-    from procedurevrl_tpu.ops.pallas_attention import MAX_FUSED_LEN, flash_mhsa
+    from procedurevrl_tpu.ops.pallas_attention import (
+        MAX_FUSED_LEN, flash_attention_headfused,
+    )
 
     if (
         use_pallas
@@ -119,22 +126,11 @@ def mhsa(
         and not causal
         and 128 <= x.shape[1] <= MAX_FUSED_LEN
     ):
-
-        b, n, c = x.shape
+        c = x.shape[-1]
         head_dim = c // num_heads
-        qkv = jnp.einsum("bnc,cd->bnd", x, qkv_w.astype(x.dtype),
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        if qkv_b is not None:
-            qkv = qkv + qkv_b.astype(x.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = flash_mhsa(
-            split_heads(q, num_heads),
-            split_heads(k, num_heads),
-            split_heads(v, num_heads),
-            scale=head_dim ** -0.5,
+        q, k, v = _qkv_project(x, qkv_w, qkv_b)
+        out = flash_attention_headfused(
+            q, k, v, num_heads, head_dim ** -0.5
         )
-        out = merge_heads(out)
-        out = jnp.einsum("bnc,cd->bnd", out, proj_w.astype(x.dtype),
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        return out + proj_b.astype(x.dtype)
+        return _out_project(out, proj_w, proj_b)
     return mhsa_xla(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, key_padding_mask, causal)

@@ -1,26 +1,35 @@
 """Fused flash self-attention Pallas kernel for the TimeSformer hot path.
 
 The spatial pass of divided space-time attention runs on sequences of
-H*W + 1 = 197 tokens with head_dim 64 across a large fused batch
-(B*T*heads).  The whole padded sequence fits in VMEM, so each grid step
-processes one (batch, head) pair with plain 2-D MXU matmuls and an exact
-fp32 softmax fused in between — one HBM read of q/k/v and one write of out,
-never materializing the [N, N] probability matrix in HBM.  (Measured on
-v5e: a 128-row q-tiling variant that re-reads K/V per tile is ~90x slower
-than this full-tile layout at N=197; batched >2-D dots in-kernel are
-similarly slow — keep the dots 2-D.)
+H*W + 1 = 197 tokens with head_dim 64 across a large fused batch (B*T).
+Design, driven by v5e traces of the full train step (layout copies were
+14.5% of step time and explicit padding another 3%):
 
-Both forward and backward are Pallas kernels wired through
-``jax.custom_vjp`` (pattern: pallas_guide "Custom VJP").  The backward
-recomputes probabilities from q/k (flash-style, no residual probability
-tensor saved).
+- **layout-free**: q/k/v arrive as ``[B, N, H*d]`` — the raw output of the
+  fused qkv Dense split in three — and the output leaves in the same
+  layout, ready for the output projection.  Head separation happens in the
+  BlockSpec index map (grid ``(B, H)``, block ``(1, N_pad, d)``), so the
+  kernel replaces the usual split-heads/merge-heads transposes with free
+  index arithmetic;
+- **pad-free**: the block length is the 128-rounded N; Pallas masks the
+  ragged edge on write, and the kernel masks out-of-range *keys* with -inf
+  before the softmax (out-of-range query rows compute garbage that is never
+  written);
+- whole sequence per grid step: one VMEM-resident tile, plain 2-D MXU
+  matmuls, exact fp32 softmax fused in between (measured ~90x faster than a
+  128-row streaming variant at N=197 — tiny tiles re-read K/V and starve
+  the MXU).
+
+Forward and backward are both Pallas kernels via ``jax.custom_vjp``;
+backward recomputes probabilities from q/k (flash-style, no saved
+probability tensor).
 
 Numerics pin the XLA path in ``ops/attention.py:attention_core`` (itself
 pinned to reference ``lib/models/vit.py:75-92``): logits and softmax in
 float32, probabilities cast to the value dtype before the PV matmul.
 
-Sequences longer than ``MAX_FUSED_LEN`` (joint space-time at high
-resolution) should use the XLA path; the ``mhsa`` dispatcher handles this.
+Sequences longer than ``MAX_FUSED_LEN`` should use the XLA path; the
+``mhsa`` dispatcher handles this.
 """
 
 from __future__ import annotations
@@ -45,8 +54,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _zero_tail_rows(x, n_valid: int):
+    """Zero rows >= n_valid: the ragged block edge holds undefined values
+    (NaN in interpret mode) which would otherwise poison 0*garbage terms in
+    the matmuls."""
+    if n_valid >= x.shape[0]:
+        return x
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row < n_valid, x, jnp.zeros_like(x))
+
+
 def _softmax_probs(q, k, scale: float, n_valid: int):
-    """fp32 softmax(q k^T * scale) with padded keys masked out."""
+    """fp32 softmax(q k^T * scale) with out-of-range keys masked out."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [NP, NP] fp32
@@ -59,61 +78,50 @@ def _softmax_probs(q, k, scale: float, n_valid: int):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-# ---------------------------------------------------------------------------
-# forward
-# ---------------------------------------------------------------------------
-
-
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     p = _softmax_probs(q_ref[0], k_ref[0], scale, n_valid)
-    v = v_ref[0]
+    v = _zero_tail_rows(v_ref[0], n_valid)
     o_ref[0] = jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
-def _pad_seq(arrs, n, npad):
-    if npad == n:
-        return arrs
-    pad = ((0, 0), (0, npad - n), (0, 0))
-    return [jnp.pad(a, pad) for a in arrs]
+def _head_spec(npad: int, d: int):
+    # grid (b, h); the head index selects a d-wide column block of [B, N, H*d]
+    return pl.BlockSpec((1, npad, d), lambda b, h: (b, 0, h),
+                        memory_space=pltpu.VMEM)
 
 
-def _flash_fwd(q, k, v, scale):
-    g, n, d = q.shape
+def _flash_fwd(q, k, v, num_heads: int, scale: float):
+    b, n, c = q.shape
+    d = c // num_heads
     npad = _round_up(n, 128)
-    q, k, v = _pad_seq([q, k, v], n, npad)
-    full = lambda: pl.BlockSpec((1, npad, d), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    spec = _head_spec(npad, d)
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, n_valid=n),
-        grid=(g,),
-        in_specs=[full(), full(), full()],
-        out_specs=full(),
-        out_shape=jax.ShapeDtypeStruct((g, npad, d), q.dtype),
+        grid=(b, num_heads),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * g * npad * npad * d,
-            bytes_accessed=4 * g * npad * d * q.dtype.itemsize,
-            transcendentals=g * npad * npad,
+            flops=4 * b * num_heads * npad * npad * d,
+            bytes_accessed=4 * b * n * c * q.dtype.itemsize,
+            transcendentals=b * num_heads * npad * npad,
         ),
         interpret=_interpret(),
     )(q, k, v)
-    return out[:, :n, :]
-
-
-# ---------------------------------------------------------------------------
-# backward
-# ---------------------------------------------------------------------------
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                 *, scale: float, n_valid: int):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    q = _zero_tail_rows(q_ref[0], n_valid)
+    k = _zero_tail_rows(k_ref[0], n_valid)
+    v = _zero_tail_rows(v_ref[0], n_valid)
     p = _softmax_probs(q, k, scale, n_valid)  # [NP, NP] fp32
 
-    gf = g_ref[0].astype(jnp.float32)
+    # out-of-range query rows carry garbage cotangents: zero them so they
+    # contribute nothing to dk/dv
+    gf = _zero_tail_rows(g_ref[0].astype(jnp.float32), n_valid)
     # dv = p^T @ g
     dv_ref[0] = jax.lax.dot_general(
         p, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -133,60 +141,52 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     ) * scale).astype(dk_ref.dtype)
 
 
-def _flash_bwd(q, k, v, g, scale):
-    gdim, n, d = q.shape
+def _flash_bwd(q, k, v, g, num_heads: int, scale: float):
+    b, n, c = q.shape
+    d = c // num_heads
     npad = _round_up(n, 128)
-    q, k, v, g = _pad_seq([q, k, v, g], n, npad)
-    full = lambda: pl.BlockSpec((1, npad, d), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
+    spec = _head_spec(npad, d)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, n_valid=n),
-        grid=(gdim,),
-        in_specs=[full(), full(), full(), full()],
-        out_specs=[full(), full(), full()],
-        out_shape=[jax.ShapeDtypeStruct((gdim, npad, d), q.dtype)] * 3,
+        grid=(b, num_heads),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), q.dtype)] * 3,
         cost_estimate=pl.CostEstimate(
-            flops=10 * gdim * npad * npad * d,
-            bytes_accessed=8 * gdim * npad * d * q.dtype.itemsize,
-            transcendentals=gdim * npad * npad,
+            flops=10 * b * num_heads * npad * npad * d,
+            bytes_accessed=8 * b * n * c * q.dtype.itemsize,
+            transcendentals=b * num_heads * npad * npad,
         ),
         interpret=_interpret(),
     )(q, k, v, g)
-    return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
+    return dq, dk, dv
 
 
-# ---------------------------------------------------------------------------
-# public op
-# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_headfused(q, k, v, num_heads, scale):
+    """Exact softmax attention on head-interleaved tensors.
+
+    q, k, v: [B, N, H*d] (d-sized column block per head). Returns the same
+    layout.
+    """
+    return _flash_fwd(q, k, v, num_heads, scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_attention(q, k, v, scale):
-    """q, k, v: [G, N, D] (heads folded into G). Exact softmax attention."""
-    return _flash_fwd(q, k, v, scale)
+def _fa_fwd(q, k, v, num_heads, scale):
+    return _flash_fwd(q, k, v, num_heads, scale), (q, k, v)
 
 
-def _flash_attention_fwd(q, k, v, scale):
-    return _flash_fwd(q, k, v, scale), (q, k, v)
-
-
-def _flash_attention_bwd(scale, res, g):
+def _fa_bwd(num_heads, scale, res, g):
     q, k, v = res
-    return _flash_bwd(q, k, v, g, scale)
+    return _flash_bwd(q, k, v, g, num_heads, scale)
 
 
-_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+flash_attention_headfused.defvjp(_fa_fwd, _fa_bwd)
 
 
 def flash_mhsa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
-    """Multi-head attention via the flash kernel.
-
-    Args:
-        q, k, v: [B, H, N, D].
-    Returns:
-        [B, H, N, D].
-    """
+    """Head-split convenience wrapper: q, k, v [B, H, N, D]."""
     b, h, n, d = q.shape
-    fold = lambda x: x.reshape(b * h, n, d)
-    out = _flash_attention(fold(q), fold(k), fold(v), float(scale))
-    return out.reshape(b, h, n, d)
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    out = flash_attention_headfused(fold(q), fold(k), fold(v), h, float(scale))
+    return out.reshape(b, n, h, d).transpose(0, 2, 1, 3)
