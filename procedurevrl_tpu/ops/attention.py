@@ -117,7 +117,7 @@ def mhsa(
     use_pallas: bool = False,
 ) -> jax.Array:
     from procedurevrl_tpu.ops.pallas_attention import (
-        MAX_FUSED_LEN, flash_attention_headfused,
+        MAX_FUSED_LEN, _heads_per_block, flash_attention_headfused,
     )
 
     if (
@@ -125,6 +125,7 @@ def mhsa(
         and key_padding_mask is None
         and not causal
         and 128 <= x.shape[1] <= MAX_FUSED_LEN
+        and _heads_per_block(x.shape[-1] // num_heads, num_heads) > 0
     ):
         c = x.shape[-1]
         head_dim = c // num_heads

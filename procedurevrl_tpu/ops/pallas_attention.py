@@ -78,28 +78,46 @@ def _softmax_probs(q, k, scale: float, n_valid: int):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
-    p = _softmax_probs(q_ref[0], k_ref[0], scale, n_valid)
-    v = _zero_tail_rows(v_ref[0], n_valid)
-    o_ref[0] = jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+def _heads_per_block(d: int, num_heads: int) -> int:
+    """Mosaic requires the last block dim to be a multiple of 128 (or the
+    full array width): pack ceil(128/d) heads per grid step."""
+    hpb = 1
+    while (d * hpb) % 128 != 0 and hpb < num_heads:
+        hpb += 1
+    if (d * hpb) % 128 != 0 or num_heads % hpb != 0:
+        return 0  # shape unsupported by the fused kernel
+    return hpb
 
 
-def _head_spec(npad: int, d: int):
-    # grid (b, h); the head index selects a d-wide column block of [B, N, H*d]
-    return pl.BlockSpec((1, npad, d), lambda b, h: (b, 0, h),
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
+                d: int, hpb: int):
+    for i in range(hpb):  # static unroll over heads in this block
+        sl = slice(i * d, (i + 1) * d)
+        p = _softmax_probs(q_ref[0, :, sl], k_ref[0, :, sl], scale, n_valid)
+        v = _zero_tail_rows(v_ref[0, :, sl], n_valid)
+        o_ref[0, :, sl] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _head_spec(npad: int, width: int):
+    # grid (b, g); g selects a width-sized column group of [B, N, H*d]
+    return pl.BlockSpec((1, npad, width), lambda b, g: (b, 0, g),
                         memory_space=pltpu.VMEM)
 
 
 def _flash_fwd(q, k, v, num_heads: int, scale: float):
     b, n, c = q.shape
     d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
+    assert hpb > 0, (
+        f"unsupported geometry for fused attention: d={d}, H={num_heads}"
+    )
     npad = _round_up(n, 128)
-    spec = _head_spec(npad, d)
+    spec = _head_spec(npad, d * hpb)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, n_valid=n),
-        grid=(b, num_heads),
+        functools.partial(_fwd_kernel, scale=scale, n_valid=n, d=d, hpb=hpb),
+        grid=(b, num_heads // hpb),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
@@ -113,42 +131,45 @@ def _flash_fwd(q, k, v, num_heads: int, scale: float):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                *, scale: float, n_valid: int):
-    q = _zero_tail_rows(q_ref[0], n_valid)
-    k = _zero_tail_rows(k_ref[0], n_valid)
-    v = _zero_tail_rows(v_ref[0], n_valid)
-    p = _softmax_probs(q, k, scale, n_valid)  # [NP, NP] fp32
+                *, scale: float, n_valid: int, d: int, hpb: int):
+    for i in range(hpb):  # static unroll over heads in this block
+        sl = slice(i * d, (i + 1) * d)
+        q = _zero_tail_rows(q_ref[0, :, sl], n_valid)
+        k = _zero_tail_rows(k_ref[0, :, sl], n_valid)
+        v = _zero_tail_rows(v_ref[0, :, sl], n_valid)
+        p = _softmax_probs(q, k, scale, n_valid)  # [NP, NP] fp32
 
-    # out-of-range query rows carry garbage cotangents: zero them so they
-    # contribute nothing to dk/dv
-    gf = _zero_tail_rows(g_ref[0].astype(jnp.float32), n_valid)
-    # dv = p^T @ g
-    dv_ref[0] = jax.lax.dot_general(
-        p, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    # dp = g @ v^T
-    dp = jax.lax.dot_general(
-        gf, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
-    dq_ref[0] = (jnp.dot(ds, k.astype(jnp.float32),
-                         preferred_element_type=jnp.float32) * scale
-                 ).astype(dq_ref.dtype)
-    dk_ref[0] = (jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale).astype(dk_ref.dtype)
+        # out-of-range query rows carry garbage cotangents: zero them so
+        # they contribute nothing to dk/dv
+        gf = _zero_tail_rows(g_ref[0, :, sl].astype(jnp.float32), n_valid)
+        # dv = p^T @ g
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            p, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        # dp = g @ v^T
+        dp = jax.lax.dot_general(
+            gf, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
+        dq_ref[0, :, sl] = (jnp.dot(ds, k.astype(jnp.float32),
+                                    preferred_element_type=jnp.float32) * scale
+                            ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dk_ref.dtype)
 
 
 def _flash_bwd(q, k, v, g, num_heads: int, scale: float):
     b, n, c = q.shape
     d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
     npad = _round_up(n, 128)
-    spec = _head_spec(npad, d)
+    spec = _head_spec(npad, d * hpb)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, n_valid=n),
-        grid=(b, num_heads),
+        functools.partial(_bwd_kernel, scale=scale, n_valid=n, d=d, hpb=hpb),
+        grid=(b, num_heads // hpb),
         in_specs=[spec, spec, spec, spec],
         out_specs=[spec, spec, spec],
         out_shape=[jax.ShapeDtypeStruct((b, n, c), q.dtype)] * 3,

@@ -8,16 +8,19 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
 def topks_correct(preds, labels, ks: Sequence[int]):
     """Number of top-k-correct predictions for each k
-    (reference ``lib/utils/metrics.py:10-43``)."""
+    (reference ``lib/utils/metrics.py:10-43``).
+
+    Uses ``lax.top_k`` (partial selection) instead of a full argsort — the
+    pretraining step computes this over 9871 classes every iteration."""
     max_k = max(ks)
-    # indices of top max_k predictions, best first
-    top_inds = jnp.argsort(-preds, axis=1)[:, :max_k]  # [B, max_k]
-    correct = top_inds == labels[:, None]
+    _, top_inds = jax.lax.top_k(jnp.asarray(preds), max_k)  # [B, max_k]
+    correct = top_inds == jnp.asarray(labels)[:, None]
     return [jnp.sum(correct[:, :k]).astype(jnp.float32) for k in ks]
 
 
@@ -35,10 +38,9 @@ def multitask_topks_correct(preds: Tuple, labels: Tuple, ks: Sequence[int]):
     """Joint (verb, noun) top-k: a sample counts when *both* tasks have the
     true label inside their top-k (reference ``lib/utils/metrics.py:69-103``)."""
     max_k = max(ks)
-    task_count = len(preds)
     joint = None
     for p, l in zip(preds, labels):
-        top_inds = jnp.argsort(-p, axis=1)[:, :max_k]  # [B, max_k]
+        _, top_inds = jax.lax.top_k(jnp.asarray(p), max_k)  # [B, max_k]
         correct = top_inds == l[:, None]  # [B, max_k]
         # cumulative "within top-j" per sample
         within = jnp.cumsum(correct, axis=1) > 0  # [B, max_k]

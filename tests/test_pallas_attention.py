@@ -16,7 +16,7 @@ from procedurevrl_tpu.ops.pallas_attention import flash_mhsa
 @pytest.mark.parametrize("n", [197, 128, 130])
 def test_flash_forward_matches_xla(n):
     rng = np.random.RandomState(0)
-    b, h, d = 2, 3, 64
+    b, h, d = 2, 4, 64  # d*2 = 128 lanes -> 2 heads per block
     q, k, v = (
         jnp.asarray(rng.randn(b, h, n, d).astype(np.float32)) for _ in range(3)
     )
