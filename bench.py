@@ -28,14 +28,14 @@ def peak_tflops() -> float:
     """Peak bf16 TFLOPs of the attached chip."""
     kind = jax.devices()[0].device_kind.lower()
     if "v5 lite" in kind or "v5e" in kind:
-        return 394.0
+        return 197.0   # v5e: 394 int8 / 197 bf16
     if "v4" in kind:
         return 275.0
     if "v5p" in kind or "v5" in kind:
         return 459.0
-    if "v6" in kind:
+    if "v6 lite" in kind or "v6e" in kind:
         return 918.0
-    return 394.0
+    return 197.0
 
 
 def encoder_train_flops_per_clip(cfg) -> float:

@@ -90,20 +90,31 @@ def _heads_per_block(d: int, num_heads: int) -> int:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
-                d: int, hpb: int):
-    for i in range(hpb):  # static unroll over heads in this block
-        sl = slice(i * d, (i + 1) * d)
-        p = _softmax_probs(q_ref[0, :, sl], k_ref[0, :, sl], scale, n_valid)
-        v = _zero_tail_rows(v_ref[0, :, sl], n_valid)
-        o_ref[0, :, sl] = jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+                d: int, hpb: int, gb: int):
+    for g in range(gb):  # static unroll: gb batch rows x hpb heads per step
+        for i in range(hpb):
+            sl = slice(i * d, (i + 1) * d)
+            p = _softmax_probs(q_ref[g, :, sl], k_ref[g, :, sl], scale, n_valid)
+            v = _zero_tail_rows(v_ref[g, :, sl], n_valid)
+            o_ref[g, :, sl] = jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
 
 
-def _head_spec(npad: int, width: int):
-    # grid (b, g); g selects a width-sized column group of [B, N, H*d]
-    return pl.BlockSpec((1, npad, width), lambda b, g: (b, 0, g),
+def _head_spec(npad: int, width: int, gb: int):
+    # grid (b, g); g selects a width-sized column group of [B, N, H*d],
+    # b selects a gb-row batch group
+    return pl.BlockSpec((gb, npad, width), lambda b, g: (b, 0, g),
                         memory_space=pltpu.VMEM)
+
+
+def _batch_group(b: int) -> int:
+    """Rows per grid step: amortize per-step DMA/launch overhead (a
+    1-row grid at N=197 measured ~25x slower than the matmul bound)."""
+    for gb in (8, 4, 2, 1):
+        if b % gb == 0:
+            return gb
+    return 1
 
 
 def _flash_fwd(q, k, v, num_heads: int, scale: float):
@@ -113,11 +124,13 @@ def _flash_fwd(q, k, v, num_heads: int, scale: float):
     assert hpb > 0, (
         f"unsupported geometry for fused attention: d={d}, H={num_heads}"
     )
+    gb = _batch_group(b)
     npad = _round_up(n, 128)
-    spec = _head_spec(npad, d * hpb)
+    spec = _head_spec(npad, d * hpb, gb)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, n_valid=n, d=d, hpb=hpb),
-        grid=(b, num_heads // hpb),
+        functools.partial(_fwd_kernel, scale=scale, n_valid=n, d=d, hpb=hpb,
+                          gb=gb),
+        grid=(b // gb, num_heads // hpb),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
@@ -131,45 +144,49 @@ def _flash_fwd(q, k, v, num_heads: int, scale: float):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                *, scale: float, n_valid: int, d: int, hpb: int):
-    for i in range(hpb):  # static unroll over heads in this block
-        sl = slice(i * d, (i + 1) * d)
-        q = _zero_tail_rows(q_ref[0, :, sl], n_valid)
-        k = _zero_tail_rows(k_ref[0, :, sl], n_valid)
-        v = _zero_tail_rows(v_ref[0, :, sl], n_valid)
-        p = _softmax_probs(q, k, scale, n_valid)  # [NP, NP] fp32
+                *, scale: float, n_valid: int, d: int, hpb: int, gb: int):
+    for gi in range(gb):  # static unroll: gb batch rows x hpb heads per step
+        for i in range(hpb):
+            sl = slice(i * d, (i + 1) * d)
+            q = _zero_tail_rows(q_ref[gi, :, sl], n_valid)
+            k = _zero_tail_rows(k_ref[gi, :, sl], n_valid)
+            v = _zero_tail_rows(v_ref[gi, :, sl], n_valid)
+            p = _softmax_probs(q, k, scale, n_valid)  # [NP, NP] fp32
 
-        # out-of-range query rows carry garbage cotangents: zero them so
-        # they contribute nothing to dk/dv
-        gf = _zero_tail_rows(g_ref[0, :, sl].astype(jnp.float32), n_valid)
-        # dv = p^T @ g
-        dv_ref[0, :, sl] = jax.lax.dot_general(
-            p, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dv_ref.dtype)
-        # dp = g @ v^T
-        dp = jax.lax.dot_general(
-            gf, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax vjp
-        dq_ref[0, :, sl] = (jnp.dot(ds, k.astype(jnp.float32),
-                                    preferred_element_type=jnp.float32) * scale
-                            ).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = (jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale).astype(dk_ref.dtype)
+            # out-of-range query rows carry garbage cotangents: zero them
+            # so they contribute nothing to dk/dv
+            gf = _zero_tail_rows(g_ref[gi, :, sl].astype(jnp.float32), n_valid)
+            # dv = p^T @ g
+            dv_ref[gi, :, sl] = jax.lax.dot_general(
+                p, gf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+            # dp = g @ v^T
+            dp = jax.lax.dot_general(
+                gf, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq_ref[gi, :, sl] = (jnp.dot(ds, k.astype(jnp.float32),
+                                         preferred_element_type=jnp.float32)
+                                 * scale).astype(dq_ref.dtype)
+            dk_ref[gi, :, sl] = (jax.lax.dot_general(
+                ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale).astype(dk_ref.dtype)
 
 
 def _flash_bwd(q, k, v, g, num_heads: int, scale: float):
     b, n, c = q.shape
     d = c // num_heads
     hpb = _heads_per_block(d, num_heads)
+    gb = _batch_group(b)
     npad = _round_up(n, 128)
-    spec = _head_spec(npad, d * hpb)
+    spec = _head_spec(npad, d * hpb, gb)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, n_valid=n, d=d, hpb=hpb),
-        grid=(b, num_heads // hpb),
+        functools.partial(_bwd_kernel, scale=scale, n_valid=n, d=d, hpb=hpb,
+                          gb=gb),
+        grid=(b // gb, num_heads // hpb),
         in_specs=[spec, spec, spec, spec],
         out_specs=[spec, spec, spec],
         out_shape=[jax.ShapeDtypeStruct((b, n, c), q.dtype)] * 3,

@@ -53,6 +53,24 @@ def multitask_topk_accuracies(preds: Tuple, labels: Tuple, ks: Sequence[int]):
     return [(x / preds[0].shape[0]) * 100.0 for x in num_correct]
 
 
+def retrieval_metrics(similarity) -> dict:
+    """Text->video retrieval R@1/5/10 and median rank from a similarity
+    matrix (reference ``tools/train_net.py:33-45``; row i's positive is
+    column i)."""
+    import numpy as np
+
+    x = np.asarray(similarity)
+    sx = np.sort(-x, axis=1)
+    d = -np.diag(x)[:, None]
+    ind = np.where(sx - d == 0)[1]
+    return {
+        "R1": float(np.sum(ind == 0)) / len(ind),
+        "R5": float(np.sum(ind < 5)) / len(ind),
+        "R10": float(np.sum(ind < 10)) / len(ind),
+        "MR": float(np.median(ind)) + 1,
+    }
+
+
 def mean_class_recall(preds, labels, num_classes: int):
     """Macro-averaged per-class recall (reference ``lib/utils/metrics.py:268``)."""
     pred_cls = jnp.argmax(preds, axis=1)
