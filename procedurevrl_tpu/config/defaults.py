@@ -315,6 +315,9 @@ def _build_defaults() -> CfgNode:
     _C.TPU.REMAT = True
     # Number of host-pipeline prefetch buffers.
     _C.TPU.PREFETCH_DEPTH = 2
+    # Ship uint8 frames to the device and normalize there (4x less
+    # host->device traffic; normalization fuses into the stem).
+    _C.TPU.HOST_UINT8 = True
     # Profiler: capture a device trace for steps [START, START+STEPS) of
     # epoch 0 into OUTPUT_DIR/profile (view with tensorboard/xprof).
     _C.TPU.PROFILE_STEPS = 0

@@ -246,7 +246,9 @@ class Howto100mDevelop:
         except Exception:
             return None
         # single fused native pass (normalize+resize+crop+flip) when the
-        # decoded frames are uint8; numpy fallback otherwise
+        # decoded frames are uint8; numpy fallback otherwise. With
+        # TPU.HOST_UINT8 the crop ships as uint8 and the device normalizes
+        # (4x less transfer; see engine/steps.normalize_frames).
         return transform.spatial_sampling_fused(
             frames,
             spatial_idx=spatial_sample_index,
@@ -258,6 +260,7 @@ class Howto100mDevelop:
             random_horizontal_flip=self.cfg.DATA.RANDOM_FLIP,
             inverse_uniform_sampling=self.cfg.DATA.INV_UNIFORM_SAMPLE,
             rng=rng,
+            output_uint8=self.cfg.TPU.HOST_UINT8,
         )
 
     # ---------------------------------------------------------------- getitem

@@ -212,21 +212,34 @@ def spatial_sampling_fused(
     inverse_uniform_sampling: bool = False,
     rng: Optional[np.random.RandomState] = None,
     n_threads: int = 4,
+    output_uint8: bool = False,
 ) -> np.ndarray:
     """Single-pass normalize+resize+crop+flip via the native library
     (uint8 [T, H, W, C] in, float32 out).  Identical RNG decision sequence
     to ``tensor_normalize`` + ``spatial_sampling``; falls back to the numpy
-    path when the native library or uint8 input is unavailable."""
+    path when the native library or uint8 input is unavailable.
+
+    With ``output_uint8`` the normalize is skipped and the crop is returned
+    as uint8 (for the device-side-normalize pipeline); bilinear values are
+    rounded to nearest."""
     from procedurevrl_tpu.datasets import videoproc
 
+    if output_uint8:
+        # keep values in [0, 255]: mean 0, std 1/255 undoes the /255
+        mean, std = [0.0, 0.0, 0.0], [1 / 255.0, 1 / 255.0, 1 / 255.0]
+
     if frames.dtype != np.uint8 or not videoproc.available():
-        frames = tensor_normalize(frames, mean, std)
-        return spatial_sampling(
+        if not output_uint8:
+            frames = tensor_normalize(frames, mean, std)
+        out = spatial_sampling(
             frames, spatial_idx=spatial_idx, min_scale=min_scale,
             max_scale=max_scale, crop_size=crop_size,
             random_horizontal_flip=random_horizontal_flip,
             inverse_uniform_sampling=inverse_uniform_sampling, rng=rng,
         ).astype(np.float32)
+        if output_uint8:
+            return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        return out
 
     rng = rng or np.random
     t, h, w, c = frames.shape
@@ -248,9 +261,12 @@ def spatial_sampling_fused(
         else:
             x = {0: 0, 1: x, 2: new_w - crop_size}[spatial_idx]
         flip = False
-    return videoproc.fused_preprocess(
+    out = videoproc.fused_preprocess(
         frames, new_h, new_w, y, x, crop_size, flip, mean, std, n_threads
     )
+    if output_uint8:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out
 
 
 def spatial_sampling(

@@ -48,6 +48,17 @@ class TrainState:
         )
 
 
+def normalize_frames(frames: jax.Array, cfg) -> jax.Array:
+    """Device-side (x/255 - mean)/std for uint8 frames shipped by the
+    TPU.HOST_UINT8 pipeline; float frames pass through (already normalized
+    on the host). Fuses into the stem under jit."""
+    if frames.dtype != jnp.uint8:
+        return frames
+    mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32)
+    std = jnp.asarray(cfg.DATA.STD, jnp.float32)
+    return (frames.astype(jnp.float32) / 255.0 - mean) / std
+
+
 def _model_rngs(rng: jax.Array, step: jax.Array) -> Dict[str, jax.Array]:
     base = jax.random.fold_in(rng, step)
     names = ("diffusion", "subset", "droppath", "dropout", "mixup")
@@ -90,7 +101,7 @@ def make_train_step(
     )
 
     def loss_and_metrics(params, batch, rngs):
-        frames = batch["frames"]
+        frames = normalize_frames(batch["frames"], cfg)
         if is_pretrain:
             meta = {
                 "clip_text_ids": batch["clip_text_ids"].reshape(
@@ -197,7 +208,7 @@ def make_eval_step(model, cfg, label_emb: Optional[jnp.ndarray]) -> Callable:
 
     def eval_step(params, batch):
         return model.apply(
-            {"params": params}, batch["frames"],
+            {"params": params}, normalize_frames(batch["frames"], cfg),
             label_emb=label_emb_dev, train=False,
         )
 

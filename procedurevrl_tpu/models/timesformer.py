@@ -234,8 +234,14 @@ class TimeSformer(nn.Module):
 
         block_cls = DividedSTBlock
         if self.remat:
+            # rematerialize everything except the flash-attention outputs:
+            # recomputing elementwise/GEMM fwd is cheap, re-running the
+            # attention kernels is not
             block_cls = nn.remat(
-                DividedSTBlock, static_argnums=(2, 3, 4), prevent_cse=False
+                DividedSTBlock, static_argnums=(2, 3, 4), prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "flash_attn_out"
+                ),
             )
         for i in range(self.depth):
             tokens = block_cls(
