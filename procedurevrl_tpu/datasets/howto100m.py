@@ -94,14 +94,18 @@ class Howto100mDevelop:
             self.cfg.DATA.PATH_TO_DATA_DIR, f"{self.mode}.csv"
         )
         if self.dummy and not os.path.exists(path_to_file):
-            # fully synthetic index: 64 videos
+            # fully synthetic index: 64 videos. Pretraining rows have no
+            # start/end (sampled from ASR); finetune/forecast rows carry a
+            # clip window like the 5-column CSVs.
+            windowed = not self.is_pretrain
             for clip_idx in range(64):
                 for idx in range(self._num_clips):
                     self._path_to_videos.append(f"synthetic://video{clip_idx}")
                     self._labels.append(clip_idx % max(self.cfg.MODEL.NUM_CLASSES, 1))
                     self._durations.append(120)
-                    self._start.append(None)
-                    self._end.append(None)
+                    self._start.append(20 if windowed else None)
+                    self._end.append(20 + max(int(self.cfg.DATA.FD), 9)
+                                     if windowed else None)
                     self._spatial_temporal_idx.append(idx)
             logger.info("Constructed synthetic %s dataset (size %d)",
                         self.mode, len(self._path_to_videos))
@@ -234,11 +238,11 @@ class Howto100mDevelop:
                 seed = (hash(path) + int(start * 7)) % (2 ** 31)
                 r = np.random.RandomState(seed)
                 frames = r.randint(
-                    0, 256, (self.cfg.DATA.NUM_FRAMES, 360, 640, 3), np.uint8
+                    0, 256, (self.num_frames, 360, 640, 3), np.uint8
                 )
             else:
                 frames = decoder.decode_window(
-                    path, start, end, self.cfg.DATA.NUM_FRAMES,
+                    path, start, end, self.num_frames,
                     backend=self.cfg.DATA.DECODING_BACKEND
                     if self.cfg.DATA.DECODING_BACKEND in ("ffmpeg", "pyav", "cv2")
                     else "auto",

@@ -47,8 +47,13 @@ def _collate(samples) -> Tuple[Dict[str, np.ndarray], np.ndarray, Dict]:
     extra_meta = {}
     for k in meta0:
         vals = [s[3][k] for s in samples]
+        arr = None
         if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
-            batch[k] = np.stack([np.asarray(v) for v in vals])
+            arr = np.stack([np.asarray(v) for v in vals])
+        # only numeric arrays become device batch entries; strings and
+        # ragged objects (e.g. EPIC narration ids) stay host-side metadata
+        if arr is not None and np.issubdtype(arr.dtype, np.number):
+            batch[k] = arr
         else:
             extra_meta[k] = vals
     return batch, idx, extra_meta

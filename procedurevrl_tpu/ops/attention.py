@@ -135,6 +135,8 @@ def mhsa(
         )
         # name the kernel output so the remat policy can keep it as a
         # residual (skipping the flash-kernel recompute in the backward)
-        out = jax.ad_checkpoint.checkpoint_name(out, "flash_attn_out")
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "flash_attn_out")
         return _out_project(out, proj_w, proj_b)
     return mhsa_xla(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, key_padding_mask, causal)

@@ -90,6 +90,20 @@ def save_checkpoint(path_to_job: str, state, cfg, epoch: int) -> Optional[str]:
     return path
 
 
+def is_native_checkpoint(path: str) -> bool:
+    """Native checkpoints are plain pickles with serialized flax trees; the
+    reference's are torch zip/legacy archives (both may be named .pyth —
+    the directory contract keeps the reference filename)."""
+    try:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        return isinstance(payload, dict) and isinstance(
+            payload.get("model_state"), bytes
+        )
+    except Exception:
+        return False
+
+
 def load_checkpoint(path: str, state):
     """Restore a native checkpoint into a TrainState template.
 
@@ -122,8 +136,8 @@ def load_train_checkpoint(cfg, state) -> Tuple[Any, int]:
     if cfg.TRAIN.CHECKPOINT_FILE_PATH:
         logger.info("Load from given checkpoint file %s.",
                     cfg.TRAIN.CHECKPOINT_FILE_PATH)
-        if cfg.TRAIN.CHECKPOINT_TYPE == "pytorch" and cfg.TRAIN.CHECKPOINT_FILE_PATH.endswith(
-            (".pyth", ".pth", ".pt")
+        if cfg.TRAIN.CHECKPOINT_TYPE == "pytorch" and not is_native_checkpoint(
+            cfg.TRAIN.CHECKPOINT_FILE_PATH
         ):
             params, epoch = load_reference_params(
                 cfg.TRAIN.CHECKPOINT_FILE_PATH, jax.device_get(state.params)
@@ -152,7 +166,7 @@ def load_test_checkpoint(cfg, state):
             "Unknown way of loading checkpoint. Using with random initialization, only for debugging."
         )
         return state
-    if path.endswith((".pyth", ".pth", ".pt")):
+    if not is_native_checkpoint(path):
         params, _ = load_reference_params(path, jax.device_get(state.params))
         return state.replace(params=params)
     state, _ = load_checkpoint(path, state)
