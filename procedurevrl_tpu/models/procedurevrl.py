@@ -143,11 +143,16 @@ class ProcedureVRL(nn.Module):
         self, text: Dict[str, jax.Array], label_emb: jax.Array
     ) -> jax.Array:
         """CLIP teacher: (text(ASR) + precomputed visual) / 2, matched to the
-        step bank (reference ``lib/models/vit.py:425-433``)."""
-        text_emb = self.text_model(text["clip_text_ids"])
-        text_emb = jax.lax.stop_gradient(text_emb)
-        vis_emb = text["clip_vis_feat"].astype(text_emb.dtype)
-        emb = (text_emb + vis_emb) / 2.0
+        step bank (reference ``lib/models/vit.py:425-433``).  Without a text
+        tower the teacher degrades to the precomputed visual features."""
+        vis_emb = text["clip_vis_feat"].astype(jnp.float32)
+        if self.with_text_model:
+            text_emb = jax.lax.stop_gradient(
+                self.text_model(text["clip_text_ids"])
+            ).astype(jnp.float32)
+            emb = (text_emb + vis_emb) / 2.0
+        else:
+            emb = vis_emb
         emb = _l2norm(emb)
         return jnp.einsum(
             "bc,kc->bk", emb, label_emb.astype(emb.dtype),

@@ -1,0 +1,50 @@
+"""Config surface parity: every shipped config loads; the reference's own
+YAMLs load unchanged when the reference checkout is present."""
+
+import glob
+import os
+
+import pytest
+
+from procedurevrl_tpu.config import get_cfg
+
+REPO_CONFIGS = sorted(
+    glob.glob(os.path.join(os.path.dirname(__file__), "..", "configs",
+                           "**", "*.yaml"), recursive=True)
+)
+REFERENCE_CONFIGS = sorted(
+    glob.glob("/root/reference/configs/**/*.yaml", recursive=True)
+)
+
+
+@pytest.mark.parametrize("path", REPO_CONFIGS,
+                         ids=[p.split("configs/")[-1] for p in REPO_CONFIGS])
+def test_repo_configs_load(path):
+    cfg = get_cfg()
+    cfg.merge_from_file(path)
+    assert cfg.MODEL.MODEL_NAME in ("vit_base_patch16_224_develop", "MViT")
+
+
+@pytest.mark.skipif(not REFERENCE_CONFIGS, reason="reference not mounted")
+@pytest.mark.parametrize(
+    "path", REFERENCE_CONFIGS,
+    ids=[p.split("configs/")[-1] for p in REFERENCE_CONFIGS],
+)
+def test_reference_configs_load_unchanged(path):
+    """The reference experiment YAMLs are valid inputs to this framework
+    (same key tree, same value syntax incl. tuple literals)."""
+    cfg = get_cfg()
+    cfg.merge_from_file(path)
+    assert cfg.SOLVER.MAX_EPOCH > 0
+
+
+def test_cli_override_merge():
+    cfg = get_cfg()
+    cfg.merge_from_list([
+        "TRAIN.BATCH_SIZE", "4", "DEV.MATCH_LANG_EMB", "True",
+        "SOLVER.LRS", "[1, 0.5]", "DATA.MEAN", "[0.5, 0.5, 0.5]",
+    ])
+    assert cfg.TRAIN.BATCH_SIZE == 4
+    assert cfg.DEV.MATCH_LANG_EMB is True
+    assert cfg.SOLVER.LRS == [1, 0.5]
+    assert cfg.DATA.MEAN == [0.5, 0.5, 0.5]
