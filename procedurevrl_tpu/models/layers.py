@@ -61,7 +61,10 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        key_padding_mask: Optional[jax.Array] = None,
+        time_axis: bool = False,
     ) -> jax.Array:
         qkv_w = self.param(
             "qkv_kernel", trunc_normal_init(0.02), (self.dim, 3 * self.dim), jnp.float32
@@ -75,6 +78,13 @@ class Attention(nn.Module):
             "proj_kernel", trunc_normal_init(0.02), (self.dim, self.dim), jnp.float32
         )
         proj_b = self.param("proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        if time_axis:
+            # x: [B, T, N, C], attention over T with batch (B, N)
+            from procedurevrl_tpu.ops.attention import mhsa_time_axis
+
+            return mhsa_time_axis(
+                x, qkv_w, qkv_b, proj_w, proj_b, self.num_heads
+            )
         return mhsa(
             x,
             qkv_w,

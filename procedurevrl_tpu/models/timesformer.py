@@ -13,8 +13,15 @@ with the same math but idiomatic JAX/TPU structure:
   dtype (bfloat16 for training) with fp32 accumulation on the MXU;
 - blocks can be rematerialized (``jax.checkpoint``) to trade FLOPs for HBM.
 
-Token layout matches the reference exactly: after the stem the sequence is
-``[CLS, (n t)]`` — patch-major, time-minor (reference ``lib/models/vit.py:406``).
+Token layout is **time-major**: after the stem the sequence is
+``[CLS, (t n)]`` — frame-major (the reference keeps patch-major
+``[CLS, (n t)]``, ``lib/models/vit.py:406``).  Attention groups are
+identical either way (temporal = fixed patch, spatial = fixed frame), so
+every token's value — and the CLS output — is numerically unchanged; the
+time-major residence makes the expensive spatial pass a free reshape
+(v5e traces showed the per-block patch-major<->frame-major transposes as
+a double-digit share of step time) while the tiny temporal pass reads
+through an einsum whose relayout XLA folds into the matmuls.
 """
 
 from __future__ import annotations
@@ -84,10 +91,12 @@ class DividedSTBlock(nn.Module):
     def __call__(
         self, x: jax.Array, T: int, W: int, deterministic: bool = True
     ) -> jax.Array:
-        """x: [B, 1 + H*W*T, D] with token (h, w, t) at 1 + (h*W + w)*T + t."""
+        """x: [B, 1 + T*H*W, D] time-major: token (t, h, w) at
+        1 + t*(H*W) + (h*W + w)."""
         B = x.shape[0]
         num_spatial = (x.shape[1] - 1) // T
         H = num_spatial // W
+        N = H * W
         D = self.dim
 
         norm1 = LayerNormFp32(eps=self.norm_eps, name="norm1")
@@ -108,31 +117,23 @@ class DividedSTBlock(nn.Module):
         temporal_fc = nn.Dense(D, dtype=self.dtype,
                                kernel_init=trunc_normal_init(0.02), name="temporal_fc")
 
-        # ---- temporal attention over T per patch location ----
-        xt = x[:, 1:, :].reshape(B * H * W, T, D)
-        res_temporal = dp(temporal_attn(temporal_norm1(xt)), deterministic)
-        res_temporal = temporal_fc(res_temporal.reshape(B, H * W * T, D))
+        # ---- temporal attention over T per patch location (axis einsum,
+        # no relayout) ----
+        xt4 = x[:, 1:, :].reshape(B, T, N, D)
+        res_temporal = dp(
+            temporal_attn(temporal_norm1(xt4), time_axis=True), deterministic
+        )
+        res_temporal = temporal_fc(res_temporal.reshape(B, T * N, D))
         xt = x[:, 1:, :] + res_temporal
 
-        # ---- spatial attention over (1 + H*W) per frame ----
+        # ---- spatial attention over (1 + H*W) per frame (free reshape) ----
         init_cls = x[:, :1, :]  # [B, 1, D]
         cls_rep = jnp.broadcast_to(init_cls, (B, T, D)).reshape(B * T, 1, D)
-        # [B, (h w t), D] -> [B*T, H*W, D]
-        xs = (
-            xt.reshape(B, H * W, T, D)
-            .transpose(0, 2, 1, 3)
-            .reshape(B * T, H * W, D)
-        )
-        xs = jnp.concatenate([cls_rep, xs], axis=1)
+        xs = jnp.concatenate([cls_rep, xt.reshape(B * T, N, D)], axis=1)
         res_spatial = dp(attn(norm1(xs)), deterministic)
 
         cls_out = res_spatial[:, 0, :].reshape(B, T, D).mean(axis=1, keepdims=True)
-        res_spatial = (
-            res_spatial[:, 1:, :]
-            .reshape(B, T, H * W, D)
-            .transpose(0, 2, 1, 3)
-            .reshape(B, H * W * T, D)
-        )
+        res_spatial = res_spatial[:, 1:, :].reshape(B, T * N, D)
 
         x = jnp.concatenate([init_cls, xt], axis=1) + jnp.concatenate(
             [cls_out, res_spatial], axis=1
@@ -224,8 +225,8 @@ class TimeSformer(nn.Module):
             cls = tokens[:B, :1, :]
             spatial = tokens[:, 1:, :].reshape(B, T, n_tok, D)
             spatial = spatial + te.astype(self.dtype)[:, :, None, :]
-            # (b t) n -> b (n t): patch-major, time-minor token order
-            spatial = spatial.transpose(0, 2, 1, 3).reshape(B, n_tok * T, D)
+            # (b t) n -> b (t n): time-major token order, no transpose
+            spatial = spatial.reshape(B, T * n_tok, D)
             tokens = jnp.concatenate([cls, spatial], axis=1)
             eff_T = T
         else:

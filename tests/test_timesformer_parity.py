@@ -47,9 +47,21 @@ def test_divided_block_parity():
         depth=1,
     )["blocks_0"]
 
+    def to_time_major(a):  # oracle is patch-major [CLS, (n t)]
+        body = a[:, 1:].reshape(B, HW, T, dim).transpose(0, 2, 1, 3)
+        return np.concatenate([a[:, :1], body.reshape(B, HW * T, dim)], 1)
+
+    def to_patch_major(a):
+        body = a[:, 1:].reshape(B, T, HW, dim).transpose(0, 2, 1, 3)
+        return np.concatenate([a[:, :1], body.reshape(B, HW * T, dim)], 1)
+
     jblock = DividedSTBlock(dim=dim, num_heads=heads, drop_path_rate=0.0)
-    out = jblock.apply({"params": params}, jnp.asarray(x.numpy()), T, W, True)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+    out = jblock.apply(
+        {"params": params}, jnp.asarray(to_time_major(x.numpy())), T, W, True
+    )
+    np.testing.assert_allclose(
+        to_patch_major(np.asarray(out)), ref, atol=2e-5, rtol=2e-5
+    )
 
 
 def test_timesformer_encoder_parity():
