@@ -122,7 +122,11 @@ def train_epoch(
             grad_fn, apply_fn, zeros_fn = grad_apply
             if cur_iter % accum == 0:
                 grads = zeros_fn(state.params)
-            grads, metrics = grad_fn(state.params, state.step, grads, dev_batch, rng)
+            # distinct rng per micro-batch (grad_step folds in state.step,
+            # which is constant within an accumulation group)
+            micro_rng = jax.random.fold_in(rng, cur_iter % accum)
+            grads, metrics = grad_fn(state.params, state.step, grads,
+                                     dev_batch, micro_rng)
             if (cur_iter + 1) % accum == 0:
                 state = apply_fn(state, grads)
                 grads = None
