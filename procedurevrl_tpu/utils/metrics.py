@@ -17,9 +17,12 @@ def topks_correct(preds, labels, ks: Sequence[int]):
     (reference ``lib/utils/metrics.py:10-43``).
 
     Uses ``lax.top_k`` (partial selection) instead of a full argsort — the
-    pretraining step computes this over 9871 classes every iteration."""
+    pretraining step computes this over 9871 classes every iteration.
+    k values are clamped to the class count."""
+    preds = jnp.asarray(preds)
+    ks = [min(k, preds.shape[1]) for k in ks]
     max_k = max(ks)
-    _, top_inds = jax.lax.top_k(jnp.asarray(preds), max_k)  # [B, max_k]
+    _, top_inds = jax.lax.top_k(preds, max_k)  # [B, max_k]
     correct = top_inds == jnp.asarray(labels)[:, None]
     return [jnp.sum(correct[:, :k]).astype(jnp.float32) for k in ks]
 
