@@ -40,6 +40,8 @@ def topk_accuracies(preds, labels, ks: Sequence[int]):
 def multitask_topks_correct(preds: Tuple, labels: Tuple, ks: Sequence[int]):
     """Joint (verb, noun) top-k: a sample counts when *both* tasks have the
     true label inside their top-k (reference ``lib/utils/metrics.py:69-103``)."""
+    min_cls = min(jnp.asarray(p).shape[1] for p in preds)
+    ks = [min(k, min_cls) for k in ks]
     max_k = max(ks)
     joint = None
     for p, l in zip(preds, labels):
