@@ -101,6 +101,7 @@ def train_epoch(
     train_meter.iter_tic()
     is_epic = cfg.TRAIN.DATASET == "Epickitchens"
     grads = None
+    pending = []
     profile_range = (
         range(cfg.TPU.PROFILE_START,
               cfg.TPU.PROFILE_START + cfg.TPU.PROFILE_STEPS)
@@ -131,30 +132,37 @@ def train_epoch(
                 state = apply_fn(state, grads)
                 grads = None
 
-        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        loss = metrics["loss"]
-        misc.check_nan_losses(loss)
-        lr = metrics.get(
-            "lr", get_lr_at_epoch(cfg, cur_epoch + float(cur_iter) / data_size)
-        )
+        # defer the device->host metric fetch to the log boundary so steps
+        # pipeline (the reference syncs with .item() every iteration,
+        # tools/train_net.py:234-236; on TPU that sync stalls the queue)
         mb = batch["frames"].shape[0] * max(jax.process_count(), 1)
-        if is_epic:
-            train_meter.update_stats(
-                metrics.get("top1_acc"), metrics.get("top5_acc"), loss, lr, mb,
-                extra={k: v for k, v in metrics.items()
-                       if k.startswith(("verb", "noun"))},
-            )
-        else:
-            train_meter.update_stats(
-                metrics.get("top1_err"), metrics.get("top5_err"), loss, lr, mb,
-                extra={k: v for k, v in metrics.items()
-                       if k in ("kl", "mse", "grad_norm")},
-            )
-        if writer is not None and (cur_iter + 1) % cfg.LOG_PERIOD == 0:
-            writer.add_scalars(
-                {f"Train/{k}": v for k, v in metrics.items()},
-                global_step=cur_epoch * data_size + cur_iter,
-            )
+        pending.append((cur_iter, metrics, mb))
+        if (cur_iter + 1) % cfg.LOG_PERIOD == 0 or cur_iter + 1 == data_size:
+            for it, m_dev, mb_i in pending:
+                m = {k: float(v) for k, v in jax.device_get(m_dev).items()}
+                loss = m["loss"]
+                misc.check_nan_losses(loss)
+                lr = m.get(
+                    "lr", get_lr_at_epoch(cfg, cur_epoch + float(it) / data_size)
+                )
+                if is_epic:
+                    train_meter.update_stats(
+                        m.get("top1_acc"), m.get("top5_acc"), loss, lr, mb_i,
+                        extra={k: v for k, v in m.items()
+                               if k.startswith(("verb", "noun"))},
+                    )
+                else:
+                    train_meter.update_stats(
+                        m.get("top1_err"), m.get("top5_err"), loss, lr, mb_i,
+                        extra={k: v for k, v in m.items()
+                               if k in ("kl", "mse", "grad_norm")},
+                    )
+            if writer is not None:
+                writer.add_scalars(
+                    {f"Train/{k}": v for k, v in m.items()},
+                    global_step=cur_epoch * data_size + cur_iter,
+                )
+            pending = []
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)
         train_meter.iter_tic()
