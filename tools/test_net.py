@@ -67,6 +67,20 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh):
                 pickle.dump({"preds": test_meter.video_preds,
                              "labels": test_meter.video_labels}, f)
         logger.info("Saved results to %s", out)
+    if cfg.TEST.SAVE_PREDICT_PATH and jax.process_index() == 0:
+        # torch-format prediction dump, drop-in for the reference's
+        # vis_pred_zeroshot_step_cls.pth (reference tools/test_net.py:146)
+        import torch
+
+        out = os.path.join(cfg.OUTPUT_DIR, cfg.TEST.SAVE_PREDICT_PATH)
+        torch.save(
+            {
+                "preds": torch.from_numpy(test_meter.video_preds.copy()),
+                "labels": torch.from_numpy(test_meter.video_labels.copy()),
+            },
+            out,
+        )
+        logger.info("Saved predictions to %s", out)
     return stats
 
 
