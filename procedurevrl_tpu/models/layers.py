@@ -79,12 +79,14 @@ class Attention(nn.Module):
         )
         proj_b = self.param("proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
         if time_axis:
-            # x: [B, T, N, C], attention over T with batch (B, N)
-            from procedurevrl_tpu.ops.attention import mhsa_time_axis
-
-            return mhsa_time_axis(
-                x, qkv_w, qkv_b, proj_w, proj_b, self.num_heads
-            )
+            # x: [B, T, N, C], attention over T with batch (B, N).
+            # One explicit (T, N) transpose each way beats axis einsums:
+            # XLA materializes a relayout per einsum operand (q, k, v and
+            # the output — 4+ copies), the transpose is 2.
+            b, t, n, c = x.shape
+            xt = x.transpose(0, 2, 1, 3).reshape(b * n, t, c)
+            out = mhsa(xt, qkv_w, qkv_b, proj_w, proj_b, self.num_heads)
+            return out.reshape(b, n, t, c).transpose(0, 2, 1, 3)
         return mhsa(
             x,
             qkv_w,

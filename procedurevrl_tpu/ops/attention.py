@@ -105,43 +105,6 @@ def mhsa_xla(
     return _out_project(out, proj_w, proj_b)
 
 
-def mhsa_time_axis(
-    x: jax.Array,
-    qkv_w: jax.Array,
-    qkv_b: jax.Array | None,
-    proj_w: jax.Array,
-    proj_b: jax.Array,
-    num_heads: int,
-) -> jax.Array:
-    """Self-attention over the T axis of ``[B, T, N, C]`` with batch
-    (B, N) — the divided block's temporal pass on time-major tokens.
-
-    Axis-aware einsums instead of reshape+transpose round-trips: the
-    operand relayout folds into the matmuls (T is tiny — 8 — so these are
-    batched [T, d] x [d, T] contractions)."""
-    b, t, n, c = x.shape
-    head_dim = c // num_heads
-    scale = head_dim ** -0.5
-    qkv = jnp.einsum("btnc,cz->btnz", x, qkv_w.astype(x.dtype),
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    if qkv_b is not None:
-        qkv = qkv + qkv_b.astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    split = lambda a: a.reshape(b, t, n, num_heads, head_dim)
-    q, k, v = split(q), split(k), split(v)
-    logits = jnp.einsum(
-        "bqnhd,bknhd->bnhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum(
-        "bnhqk,bknhd->bqnhd", probs.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype).reshape(b, t, n, c)
-    out = jnp.einsum("btnc,cd->btnd", out, proj_w.astype(x.dtype),
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    return out + proj_b.astype(x.dtype)
-
-
 def mhsa(
     x: jax.Array,
     qkv_w: jax.Array,
