@@ -51,6 +51,7 @@ def all_gather_batch(mesh: Mesh, x: jax.Array) -> jax.Array:
 
     return shard_map(
         body, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(),
+        check_rep=False,
     )(x)
 
 
