@@ -5,10 +5,11 @@ of the reference's per-iteration python loop body
 (reference ``tools/train_net.py:101-247``).  Differences by design:
 
 - the per-iteration LR is a traced schedule inside the step (no host sync);
-- gradient accumulation to GLOBAL_BATCH_SIZE is a ``lax.scan`` over
-  micro-batches inside the step (reference ``tools/train_net.py:176-192``
-  loops on the host), with the same mean-of-microbatch-grads semantics
-  (grads divided by num_iters);
+- gradient accumulation to GLOBAL_BATCH_SIZE streams micro-batches through
+  a compiled ``grad_step`` into a device-resident accumulator and applies
+  with ``apply_step`` (same mean-of-microbatch-grads semantics as reference
+  ``tools/train_net.py:176-192`` — grads divided by num_iters — without
+  staging [accum, B, ...] video in HBM);
 - DDP's all-reduce becomes the psum XLA inserts for the global-mean loss
   when the batch is sharded over the ``data`` mesh axis;
 - metric all-reduce (reference ``:200,216,234``) is free: metrics are
@@ -76,11 +77,14 @@ def make_train_step(
 ) -> Callable:
     """Build the train step for the task the config selects.
 
-    Batch pytree contract (leading axis = global batch; with accumulation
-    the leading axes are [accum_steps, global_micro_batch]):
-        frames: [B, ...] video (layout per model docstring);
+    Batch pytree contract (leading axis = global micro-batch):
+        frames: [B, ...] video (layout per model docstring), float32 or
+            uint8 (device-normalized);
         labels: [B] int, or verb/noun int arrays for EPIC;
         clip_text_ids / clip_vis_feat: pretraining meta, [B, M, 77]/[B, M, C].
+
+    With ``accum_steps > 1`` the returned function carries ``.grad_step``
+    and ``.apply_step`` attributes for the streaming-accumulation loop.
     """
     is_pretrain = cfg.TRAIN.LABEL_EMB != "" and cfg.TRAIN.TEXT != ""
     is_epic = cfg.TRAIN.DATASET == "Epickitchens"
