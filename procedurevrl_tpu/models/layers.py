@@ -37,14 +37,18 @@ class Mlp(nn.Module):
     out_dim: int
     act: Callable = gelu_exact
     dtype: jnp.dtype = jnp.float32
+    fc1_init: Optional[Callable] = None
+    fc2_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                     kernel_init=trunc_normal_init(0.02), name="fc1")(x)
+                     kernel_init=self.fc1_init or trunc_normal_init(0.02),
+                     name="fc1")(x)
         x = self.act(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype,
-                     kernel_init=trunc_normal_init(0.02), name="fc2")(x)
+                     kernel_init=self.fc2_init or trunc_normal_init(0.02),
+                     name="fc2")(x)
         return x
 
 
@@ -58,6 +62,8 @@ class Attention(nn.Module):
     use_pallas: bool = False
 
     causal: bool = False
+    qkv_init: Optional[Callable] = None
+    proj_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(
@@ -67,7 +73,8 @@ class Attention(nn.Module):
         time_axis: bool = False,
     ) -> jax.Array:
         qkv_w = self.param(
-            "qkv_kernel", trunc_normal_init(0.02), (self.dim, 3 * self.dim), jnp.float32
+            "qkv_kernel", self.qkv_init or trunc_normal_init(0.02),
+            (self.dim, 3 * self.dim), jnp.float32,
         )
         qkv_b = (
             self.param("qkv_bias", nn.initializers.zeros, (3 * self.dim,), jnp.float32)
@@ -75,7 +82,8 @@ class Attention(nn.Module):
             else None
         )
         proj_w = self.param(
-            "proj_kernel", trunc_normal_init(0.02), (self.dim, self.dim), jnp.float32
+            "proj_kernel", self.proj_init or trunc_normal_init(0.02),
+            (self.dim, self.dim), jnp.float32,
         )
         proj_b = self.param("proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
         if time_axis:

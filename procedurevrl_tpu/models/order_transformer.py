@@ -81,20 +81,39 @@ class DiffusionSchedule:
         return a * x0 + b * noise
 
 
+def _normal_init(std: float):
+    return lambda key, shape, dtype=jnp.float32: (
+        jax.random.normal(key, shape, jnp.float32) * std
+    ).astype(dtype)
+
+
 class ResidualAttentionBlock(nn.Module):
-    """CLIP-style pre-LN block (reference lib/models/tfm_model.py:32-53)."""
+    """CLIP-style pre-LN block (reference lib/models/tfm_model.py:32-53)
+    with CLIP init scales (reference ``initialize_parameters`` :251-263):
+    attn in-proj std width^-0.5, out-proj and mlp fc2 std
+    width^-0.5 * (2*layers)^-0.5, mlp fc1 std (2*width)^-0.5."""
 
     d_model: int
     n_head: int
+    num_layers: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, pad_mask: Optional[jax.Array] = None) -> jax.Array:
-        x = x + Attention(self.d_model, self.n_head, True, self.dtype, name="attn")(
-            LayerNormFp32(name="ln_1")(x), key_padding_mask=pad_mask
-        )
-        x = x + Mlp(self.d_model * 4, self.d_model, act=quick_gelu,
-                    dtype=self.dtype, name="mlp")(LayerNormFp32(name="ln_2")(x))
+        width = self.d_model
+        proj_std = (width ** -0.5) * ((2 * self.num_layers) ** -0.5)
+        x = x + Attention(
+            self.d_model, self.n_head, True, self.dtype,
+            qkv_init=_normal_init(width ** -0.5),
+            proj_init=_normal_init(proj_std),
+            name="attn",
+        )(LayerNormFp32(name="ln_1")(x), key_padding_mask=pad_mask)
+        x = x + Mlp(
+            self.d_model * 4, self.d_model, act=quick_gelu, dtype=self.dtype,
+            fc1_init=_normal_init((2 * width) ** -0.5),
+            fc2_init=_normal_init(proj_std),
+            name="mlp",
+        )(LayerNormFp32(name="ln_2")(x))
         return x
 
 
@@ -128,22 +147,16 @@ class OrderTransformer(nn.Module):
         self.temporal_embedding = self.param(
             "temporal_embedding", n_init(std), (self.max_len, C)
         )
-        width = C
-        proj_std = (width ** -0.5) * ((2 * self.tfm_layers) ** -0.5)
-        attn_std = width ** -0.5
-        fc_std = (2 * width) ** -0.5
-        # CLIP init (reference lib/models/tfm_model.py:251-263) is applied by
-        # overriding Dense inits per block at init time via params post-init;
-        # here block params use defaults and the wrapper re-inits (see
-        # models/procedurevrl.py). Blocks:
+        # CLIP init scales live inside ResidualAttentionBlock (reference
+        # lib/models/tfm_model.py:251-263).
         self.resblocks = [
-            ResidualAttentionBlock(C, self.tfm_heads, self.dtype, name=f"resblocks_{i}")
+            ResidualAttentionBlock(C, self.tfm_heads, self.tfm_layers,
+                                   self.dtype, name=f"resblocks_{i}")
             for i in range(self.tfm_layers)
         ]
         self.time_fc1 = nn.Dense(C, dtype=self.dtype, name="time_mlp_fc1")
         self.time_fc2 = nn.Dense(C, dtype=self.dtype, name="time_mlp_fc2")
         self.schedule = DiffusionSchedule(self.tfm_layers, "linear")
-        self._proj_std, self._attn_std, self._fc_std = proj_std, attn_std, fc_std
 
     # ---- helpers -------------------------------------------------------------
 
