@@ -201,6 +201,76 @@ def load_reference_state_dict(path: str) -> Tuple[Dict[str, np.ndarray], Optiona
     return out, epoch
 
 
+def load_pretrained_encoder(cfg, params):
+    """Initialize the video encoder from an external pretrained checkpoint
+    (the reference's build-time ``load_pretrained``: ImageNet ViT-B/16 for
+    TimeSformer with temporal inflation, or MViTv2 IN1k with 2D->3D
+    inflation; reference ``lib/models/vit.py:487-505``,
+    ``lib/models/helpers.py:100-145``).
+
+    Path comes from ``TIMESFORMER.PRETRAINED_MODEL`` and is gated by
+    ``MODEL.PRETRAINED``. Returns the params tree with the encoder subtree
+    replaced (shape-filtered)."""
+    path = cfg.TIMESFORMER.PRETRAINED_MODEL
+    if not cfg.MODEL.PRETRAINED or not path:
+        return params
+    if not os.path.exists(path):
+        logger.warning("Pretrained model %s not found; keeping random init.",
+                       path)
+        return params
+    from procedurevrl_tpu.utils.converter import (
+        convert_imagenet_vit, convert_mvit, convert_procedurevrl,
+        inflate_mvit_in1k, strip_prefixes,
+    )
+
+    state, _ = load_reference_state_dict(path)
+    state = strip_prefixes(state)
+    if any(k.startswith("video_encoder.") for k in state):
+        enc = convert_mvit(
+            {k[len("video_encoder."):]: v for k, v in state.items()
+             if k.startswith("video_encoder.")}
+        )
+    elif cfg.MODEL.MODEL_NAME == "MViT":
+        if state.get("patch_embed.proj.weight") is not None and np.ndim(
+            state["patch_embed.proj.weight"]
+        ) == 4:
+            # image checkpoint: inflate over time first
+            rel_lens = {}
+            state = inflate_mvit_in1k(
+                state, time_kernel=cfg.MVIT.PATCH_KERNEL[0]
+            )
+        enc = convert_mvit(state)
+    elif "blocks.0.temporal_attn.qkv.weight" in state:
+        # already a TimeSformer (video) checkpoint
+        from procedurevrl_tpu.utils.converter import convert_timesformer
+
+        depth = 1 + max(int(k.split(".")[1]) for k in state
+                        if k.startswith("blocks."))
+        enc = convert_timesformer(state, depth=depth)
+    else:
+        # ImageNet ViT: inflate spatial attention into temporal slots
+        enc = convert_imagenet_vit(state, num_frames=cfg.DATA.NUM_FRAMES)
+
+    flat_t = flatten_dict(params["encoder"], sep="/")
+    flat_c = flatten_dict(enc, sep="/")
+    merged, skipped = {}, []
+    for k, tv in flat_t.items():
+        cv = flat_c.get(k)
+        if cv is not None and tuple(np.shape(cv)) == tuple(np.shape(tv)):
+            merged[k] = np.asarray(cv, dtype=np.asarray(tv).dtype)
+        else:
+            merged[k] = tv
+            skipped.append(k)
+    if skipped:
+        logger.info("Pretrained-encoder keys kept at init: %s",
+                    sorted(skipped)[:20])
+    params = dict(params)
+    params["encoder"] = unflatten_dict(merged, sep="/")
+    logger.info("Initialized encoder from %s (%d tensors)", path,
+                len(flat_c))
+    return params
+
+
 def load_reference_params(path: str, params_template) -> Tuple[Any, Optional[int]]:
     """Convert a full reference ProcedureVRL checkpoint into our param tree,
     shape-filtered against the template (reference ``:369-390``)."""

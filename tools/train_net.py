@@ -81,8 +81,11 @@ def build_trainer(cfg):
     opt_steps_per_epoch = max(steps_per_epoch // accum, 1)
     sched = lr_schedule(cfg, opt_steps_per_epoch)
     params = init_params(cfg, model, label_emb)
-    tx = construct_optimizer(jax.device_get(params), cfg, sched)
-    state = TrainState.create(params, tx)
+    # external pretrained encoder init (ImageNet ViT / MViT IN1k / released
+    # TimeSformer), the reference's build-time load_pretrained
+    params_host = cu.load_pretrained_encoder(cfg, jax.device_get(params))
+    tx = construct_optimizer(params_host, cfg, sched)
+    state = TrainState.create(jax.device_put(params_host), tx)
 
     train_step = make_train_step(model, tx, cfg, label_emb, sched, accum)
     eval_step = make_eval_step(model, cfg, label_emb)
