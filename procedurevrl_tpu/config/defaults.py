@@ -208,6 +208,9 @@ def _build_defaults() -> CfgNode:
     _C.DATA.COLORJITTER = False
     _C.DATA.GRAYSCALE = False
     _C.DATA.GAUSSIAN = False
+    # CLIP BPE merges file (bpe_simple_vocab_16e6.txt.gz) for ASR
+    # tokenization; empty -> deterministic hash tokenizer (smoke runs).
+    _C.DATA.BPE_PATH = ""
 
     # ---- Solver (reference :566-625) ---------------------------------------------
     _C.SOLVER = CfgNode()

@@ -77,7 +77,7 @@ class Howto100mDevelop:
         self.em = cfg.TRAIN.EPOCH_MUL
         self.dummy = cfg.DEV.LOAD_DUMMY_DATA
         if self.is_pretrain:
-            self.tokenizer = build_tokenizer(getattr(cfg.DATA, "BPE_PATH", ""))
+            self.tokenizer = build_tokenizer(cfg.DATA.BPE_PATH)
         self._construct_loader()
 
     # ------------------------------------------------------------------ index

@@ -110,8 +110,14 @@ def _head_spec(npad: int, width: int, gb: int):
 
 def _batch_group(b: int) -> int:
     """Rows per grid step: amortize per-step DMA/launch overhead (a
-    1-row grid at N=197 measured ~25x slower than the matmul bound)."""
-    for gb in (8, 4, 2, 1):
+    1-row grid at N=197 measured ~25x slower than the matmul bound; v5e
+    measurements kept improving up to ~24 rows/step, bounded by VMEM)."""
+    import os
+
+    prefs = (24, 16, 12, 8, 6, 4, 2, 1)
+    if os.environ.get("PALLAS_GB"):
+        prefs = (int(os.environ["PALLAS_GB"]),) + prefs
+    for gb in prefs:
         if b % gb == 0:
             return gb
     return 1
