@@ -110,11 +110,12 @@ def _head_spec(npad: int, width: int, gb: int):
 
 def _batch_group(b: int) -> int:
     """Rows per grid step: amortize per-step DMA/launch overhead (a
-    1-row grid at N=197 measured ~25x slower than the matmul bound; v5e
-    measurements kept improving up to ~24 rows/step, bounded by VMEM)."""
+    1-row grid at N=197 measured ~25x slower than the matmul bound).
+    Bounded by scoped VMEM: the backward stages 7 double-buffered
+    (gb, 256, 128) blocks, so gb=24 exceeds the 16 MB budget; 12 fits."""
     import os
 
-    prefs = (24, 16, 12, 8, 6, 4, 2, 1)
+    prefs = (12, 8, 6, 4, 2, 1)
     if os.environ.get("PALLAS_GB"):
         prefs = (int(os.environ["PALLAS_GB"]),) + prefs
     for gb in prefs:
