@@ -169,6 +169,9 @@ def train_epoch(
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)
         train_meter.iter_tic()
+    if profile_range and profile_range.start < data_size <= profile_range.stop:
+        # epoch ended inside the requested window: close the trace
+        jax.profiler.stop_trace()
     train_meter.log_epoch_stats(cur_epoch)
     train_meter.reset()
     return state
