@@ -204,3 +204,30 @@ def construct_loader(cfg, split: str) -> Loader:
 def shuffle_dataset(loader: Loader, cur_epoch: int):
     """reference ``loader.py:142-160``."""
     loader.set_epoch(cur_epoch)
+
+
+def prefetch_to_device(loader: Loader, mesh, size: int = 2):
+    """Iterate ``loader`` with batches already device_put one step ahead
+    (jax transfers are async: issuing the next batch's transfer before the
+    current step's results are consumed overlaps PCIe/tunnel time with
+    compute — the reference's ``pin_memory`` + ``non_blocking`` copies)."""
+    import collections
+
+    from procedurevrl_tpu.parallel.mesh import shard_batch
+
+    queue = collections.deque()
+    it = iter(loader)
+
+    def enqueue(n):
+        for _ in range(n):
+            try:
+                batch, n_valid, extra = next(it)
+            except StopIteration:
+                return
+            queue.append((shard_batch(mesh, batch), n_valid, extra, batch))
+
+    enqueue(size)
+    while queue:
+        item = queue.popleft()
+        enqueue(1)
+        yield item

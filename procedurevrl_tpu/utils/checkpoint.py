@@ -140,7 +140,8 @@ def load_train_checkpoint(cfg, state) -> Tuple[Any, int]:
             cfg.TRAIN.CHECKPOINT_FILE_PATH
         ):
             params, epoch = load_reference_params(
-                cfg.TRAIN.CHECKPOINT_FILE_PATH, jax.device_get(state.params)
+                cfg.TRAIN.CHECKPOINT_FILE_PATH, jax.device_get(state.params),
+                clear_patterns=cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN,
             )
             state = state.replace(params=params)
             if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
@@ -271,12 +272,22 @@ def load_pretrained_encoder(cfg, params):
     return params
 
 
-def load_reference_params(path: str, params_template) -> Tuple[Any, Optional[int]]:
+def load_reference_params(path: str, params_template,
+                          clear_patterns=()) -> Tuple[Any, Optional[int]]:
     """Convert a full reference ProcedureVRL checkpoint into our param tree,
-    shape-filtered against the template (reference ``:369-390``)."""
+    shape-filtered against the template (reference ``:369-390``).
+
+    ``clear_patterns`` drops checkpoint keys containing any pattern before
+    conversion (reference ``TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN``)."""
     from procedurevrl_tpu.utils.converter import convert_procedurevrl
 
     state, epoch = load_reference_state_dict(path)
+    for pattern in clear_patterns or ():
+        dropped = [k for k in state if pattern in k]
+        for k in dropped:
+            del state[k]
+        if dropped:
+            logger.info("Cleared %d keys matching %r", len(dropped), pattern)
     converted = convert_procedurevrl(state)
     flat_t = flatten_dict(params_template, sep="/")
     flat_c = flatten_dict(converted, sep="/")

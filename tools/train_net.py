@@ -111,13 +111,15 @@ def train_epoch(
         if cfg.TPU.PROFILE_STEPS > 0 and cur_epoch == 0
         and jax.process_index() == 0 else range(0)
     )
-    for cur_iter, (batch, n_valid, _extra) in enumerate(train_loader):
+    prefetched = loader_mod.prefetch_to_device(
+        train_loader, mesh, size=cfg.TPU.PREFETCH_DEPTH
+    )
+    for cur_iter, (dev_batch, n_valid, _extra, batch) in enumerate(prefetched):
         if profile_range and cur_iter == profile_range.start:
             jax.profiler.start_trace(f"{cfg.OUTPUT_DIR}/profile")
         if profile_range and cur_iter == profile_range.stop:
             jax.profiler.stop_trace()
-        batch.pop("index", None)
-        dev_batch = shard_batch(mesh, batch)
+        dev_batch.pop("index", None)
         train_meter.data_toc()
 
         if accum == 1:
