@@ -84,7 +84,7 @@ def main():
     params = init_params(cfg, model, label_emb)
     note("params ready")
     sched = lr_schedule(cfg, 1000)
-    tx = construct_optimizer(jax.device_get(params), cfg, sched)
+    tx = construct_optimizer(jax.tree_util.tree_map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params), cfg, sched)
     state = TrainState.create(params, tx)
     train_step = make_train_step(model, tx, cfg, label_emb, sched, 1)
 

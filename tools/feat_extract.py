@@ -57,7 +57,7 @@ def extract(cfg):
     from tools.train_net import init_params
 
     params = init_params(cfg, model, label_emb)
-    tx = construct_optimizer(jax.device_get(params), cfg, lr_schedule(cfg, 1))
+    tx = construct_optimizer(jax.tree_util.tree_map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params), cfg, lr_schedule(cfg, 1))
     state = cu.load_test_checkpoint(cfg, TrainState.create(params, tx))
     state = jax.device_put(state, replicated(mesh))
     eval_step = jax.jit(

@@ -97,7 +97,7 @@ def test(cfg):
 
     params = init_params(cfg, model, label_emb)
     sched = lr_schedule(cfg, 1)
-    tx = construct_optimizer(jax.device_get(params), cfg, sched)
+    tx = construct_optimizer(jax.tree_util.tree_map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params), cfg, sched)
     state = TrainState.create(params, tx)
     state = cu.load_test_checkpoint(cfg, state)
     misc.log_model_info(state.params, cfg)

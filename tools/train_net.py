@@ -82,10 +82,18 @@ def build_trainer(cfg):
     sched = lr_schedule(cfg, opt_steps_per_epoch)
     params = init_params(cfg, model, label_emb)
     # external pretrained encoder init (ImageNet ViT / MViT IN1k / released
-    # TimeSformer), the reference's build-time load_pretrained
-    params_host = cu.load_pretrained_encoder(cfg, jax.device_get(params))
-    tx = construct_optimizer(params_host, cfg, sched)
-    state = TrainState.create(jax.device_put(params_host), tx)
+    # TimeSformer), the reference's build-time load_pretrained. Only pull
+    # params to host when there is actually a checkpoint to merge.
+    if cfg.MODEL.PRETRAINED and cfg.TIMESFORMER.PRETRAINED_MODEL:
+        params = jax.device_put(
+            cu.load_pretrained_encoder(cfg, jax.device_get(params))
+        )
+    # optimizer group labels only need the tree structure, not the values
+    shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+    )
+    tx = construct_optimizer(shapes, cfg, sched)
+    state = TrainState.create(params, tx)
 
     train_step = make_train_step(model, tx, cfg, label_emb, sched, accum)
     eval_step = make_eval_step(model, cfg, label_emb)
