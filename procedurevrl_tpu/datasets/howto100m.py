@@ -93,8 +93,10 @@ class Howto100mDevelop:
         path_to_file = os.path.join(
             self.cfg.DATA.PATH_TO_DATA_DIR, f"{self.mode}.csv"
         )
-        if self.dummy and not os.path.exists(path_to_file):
-            # fully synthetic index: 64 videos. Pretraining rows have no
+        if self.dummy:
+            # fully synthetic index: 64 videos (no CSV/video files touched —
+            # the reference's dummy flag still decoded real files; ours must
+            # run in imageless environments). Pretraining rows have no
             # start/end (sampled from ASR); finetune/forecast rows carry a
             # clip window like the 5-column CSVs.
             windowed = not self.is_pretrain
@@ -133,8 +135,6 @@ class Howto100mDevelop:
                     self._spatial_temporal_idx.append(idx)
                     self._start.append(None if start is None else int(float(start)))
                     self._end.append(None if end is None else int(float(end)))
-                if self.dummy and len(self._path_to_videos) > 50:
-                    break
         assert self._path_to_videos, f"Failed to load split {self.mode}"
         logger.info("Constructed dataloader (size: %d) from %s",
                     len(self._path_to_videos), path_to_file)

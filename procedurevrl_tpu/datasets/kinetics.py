@@ -37,7 +37,7 @@ class Kinetics:
         self._labels = []
         self._spatial_temporal_idx = []
         csv = os.path.join(self.cfg.DATA.PATH_TO_DATA_DIR, f"{self.mode}.csv")
-        if self.dummy and not os.path.exists(csv):
+        if self.dummy:
             for i in range(64):
                 for idx in range(self._num_clips):
                     self._path_to_videos.append(f"synthetic://k{i}")

@@ -42,7 +42,7 @@ class Ssv2:
         csv = os.path.join(
             self.cfg.DATA.PATH_TO_DATA_DIR, f"{self.mode}.csv"
         )
-        if self.dummy and not os.path.exists(csv):
+        if self.dummy:
             for i in range(64):
                 for idx in range(self._num_clips):
                     self._video_frames.append(
