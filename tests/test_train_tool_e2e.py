@@ -47,3 +47,16 @@ def test_train_tool_end_to_end(tmp_path):
     cfg2 = _tiny_cfg(tmp_path)
     state2 = train(cfg2)
     assert int(state2.step) == 8  # restored, no extra epochs run
+
+
+def test_train_tool_with_grad_accumulation(tmp_path):
+    """GLOBAL_BATCH_SIZE = 2x per-step batch -> streaming accumulation path
+    (reference tools/train_net.py:176-192 semantics)."""
+    from tools.train_net import train
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.GLOBAL_BATCH_SIZE = 16  # accum = 2
+    cfg.TRAIN.EVAL_PERIOD = 10  # skip eval
+    state = train(cfg)
+    # 8 micro-batches -> 4 optimizer steps
+    assert int(state.step) == 4
