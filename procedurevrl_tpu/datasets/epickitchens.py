@@ -18,6 +18,7 @@ import numpy as np
 
 from procedurevrl_tpu.datasets import decoder, transform
 from procedurevrl_tpu.datasets.build import register_dataset
+from procedurevrl_tpu.datasets.rng import EpochRNG
 from procedurevrl_tpu.utils import logging as logging_util
 
 logger = logging_util.get_logger(__name__)
@@ -82,7 +83,7 @@ class EpicKitchensVideoRecord:
 
 
 @register_dataset("Epickitchens")
-class Epickitchens:
+class Epickitchens(EpochRNG):
     def __init__(self, cfg, mode: str):
         assert mode in ("train", "val", "test", "train+val")
         self.cfg = cfg
@@ -148,9 +149,7 @@ class Epickitchens:
         )
 
     def __getitem__(self, index: int):
-        rng = np.random.RandomState(
-            (index * 7919 + (0 if self.mode == "test" else os.getpid())) % 2 ** 31
-        )
+        rng = self.sample_rng(index, 7919, deterministic=self.mode == "test")
         record = self._video_records[index]
         if self.mode in ("train", "val", "train+val"):
             spatial_idx = -1

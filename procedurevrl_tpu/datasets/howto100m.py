@@ -24,6 +24,7 @@ import numpy as np
 
 from procedurevrl_tpu.datasets import decoder, transform
 from procedurevrl_tpu.datasets.build import register_dataset
+from procedurevrl_tpu.datasets.rng import EpochRNG
 from procedurevrl_tpu.datasets.tokenizer import CONTEXT_LENGTH, build_tokenizer, tokenize
 from procedurevrl_tpu.utils import logging as logging_util
 
@@ -52,7 +53,7 @@ def get_clip_feat(clip_feat_path: str, vidid: str, start: float, end: float,
 
 
 @register_dataset("Howto100m_develop")
-class Howto100mDevelop:
+class Howto100mDevelop(EpochRNG):
     """Map-style dataset; ``__getitem__`` returns
     ``(frames, label, index, meta)`` with frames ``[T(,M), H, W, C]`` float32."""
 
@@ -77,7 +78,9 @@ class Howto100mDevelop:
         self.em = cfg.TRAIN.EPOCH_MUL
         self.dummy = cfg.DEV.LOAD_DUMMY_DATA
         if self.is_pretrain:
-            self.tokenizer = build_tokenizer(cfg.DATA.BPE_PATH)
+            self.tokenizer = build_tokenizer(
+                cfg.DATA.BPE_PATH, allow_fallback=self.dummy
+            )
         self._construct_loader()
 
     # ------------------------------------------------------------------ index
@@ -270,11 +273,11 @@ class Howto100mDevelop:
     # ---------------------------------------------------------------- getitem
 
     def __getitem__(self, index: int):
+        # seed from the RAW index (so EPOCH_MUL repeats draw distinct
+        # windows) before folding down to the physical clip.
+        rng = self.sample_rng(index, 1000003, deterministic=self.mode == "test")
         if self.em > 1:
             index = index % len(self._path_to_videos)
-        rng = np.random.RandomState(
-            (index * 1000003 + (0 if self.mode == "test" else os.getpid())) % 2 ** 31
-        )
         temporal_sample_index, spatial_sample_index, scales = (
             self._sampling_params(index)
         )

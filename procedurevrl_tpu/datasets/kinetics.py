@@ -13,13 +13,14 @@ import numpy as np
 
 from procedurevrl_tpu.datasets import decoder, transform
 from procedurevrl_tpu.datasets.build import register_dataset
+from procedurevrl_tpu.datasets.rng import EpochRNG
 from procedurevrl_tpu.utils import logging as logging_util
 
 logger = logging_util.get_logger(__name__)
 
 
 @register_dataset("Kinetics")
-class Kinetics:
+class Kinetics(EpochRNG):
     def __init__(self, cfg, mode: str, num_retries: int = 10):
         assert mode in ("train", "val", "test")
         self.cfg = cfg
@@ -60,9 +61,7 @@ class Kinetics:
         return len(self._path_to_videos)
 
     def __getitem__(self, index: int):
-        rng = np.random.RandomState(
-            (index * 999983 + (0 if self.mode == "test" else os.getpid())) % 2 ** 31
-        )
+        rng = self.sample_rng(index, 999983, deterministic=self.mode == "test")
         if self.mode in ("train", "val"):
             temporal_idx, spatial_idx = -1, -1
             min_s, max_s = self.cfg.DATA.TRAIN_JITTER_SCALES

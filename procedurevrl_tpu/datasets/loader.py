@@ -90,8 +90,11 @@ class Loader:
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
-        """Reshuffle per epoch (reference ``loader.py:142-160``)."""
+        """Reshuffle per epoch and re-seed per-sample augmentation RNG
+        (reference ``loader.py:142-160``)."""
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -178,7 +181,9 @@ def construct_loader(cfg, split: str) -> Loader:
     elif split == "val":
         dataset_name = cfg.TRAIN.DATASET
         batch_size = cfg.TRAIN.BATCH_SIZE
-        shuffle, drop_last = False, True
+        # reference uses drop_last=False for val (lib/datasets/loader.py:118);
+        # the final partial batch is padded and n_valid reported.
+        shuffle, drop_last = False, False
     else:
         dataset_name = cfg.TEST.DATASET
         batch_size = cfg.TEST.BATCH_SIZE

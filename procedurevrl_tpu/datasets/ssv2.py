@@ -17,13 +17,14 @@ import numpy as np
 
 from procedurevrl_tpu.datasets import transform
 from procedurevrl_tpu.datasets.build import register_dataset
+from procedurevrl_tpu.datasets.rng import EpochRNG
 from procedurevrl_tpu.utils import logging as logging_util
 
 logger = logging_util.get_logger(__name__)
 
 
 @register_dataset("Ssv2_m")
-class Ssv2:
+class Ssv2(EpochRNG):
     def __init__(self, cfg, mode: str, num_retries: int = 10):
         assert mode in ("train", "val", "test")
         self.cfg = cfg
@@ -84,9 +85,7 @@ class Ssv2:
         return img[:, :, ::-1]
 
     def __getitem__(self, index: int):
-        rng = np.random.RandomState(
-            (index * 104729 + (0 if self._test else os.getpid())) % 2 ** 31
-        )
+        rng = self.sample_rng(index, 104729, deterministic=self._test)
         paths, label = self._video_frames[index]
         T = self.cfg.DATA.NUM_FRAMES
         n = len(paths)

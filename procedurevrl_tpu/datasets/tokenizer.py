@@ -85,12 +85,23 @@ class BPETokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
-        self.pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if False
-            else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-            re.IGNORECASE,
-        )
+        # CLIP's exact pre-tokenization pattern (needs the `regex` module
+        # for \p{L}/\p{N}); falls back to ASCII classes without it, which
+        # deviates on non-ASCII letters/digits.
+        try:
+            import regex
+
+            self.pat = regex.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+                r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+                regex.IGNORECASE,
+            )
+        except ImportError:
+            self.pat = re.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+                r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+                re.IGNORECASE,
+            )
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -131,7 +142,7 @@ class BPETokenizer:
     def encode(self, text: str) -> List[int]:
         bpe_tokens: List[int] = []
         text = whitespace_clean(basic_clean(text)).lower()
-        for token in re.findall(self.pat, text):
+        for token in self.pat.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(
                 self.encoder[t] for t in self.bpe(token).split(" ")
@@ -155,9 +166,23 @@ class HashTokenizer:
         return out
 
 
-def build_tokenizer(bpe_path: str = ""):
+def build_tokenizer(bpe_path: str = "", allow_fallback: bool = False):
+    """CLIP BPE tokenizer from a merges file.
+
+    A missing merges file hard-fails unless ``allow_fallback`` (dummy/smoke
+    runs only): silently hashing words would feed garbage token ids to the
+    CLIP teacher and corrupt the pretraining signal
+    (reference bundles the file with the clip package,
+    ``lib/datasets/howto100m.py:393``; see DATASET.md for fetching it).
+    """
     if bpe_path and os.path.exists(bpe_path):
         return BPETokenizer(bpe_path)
+    if not allow_fallback:
+        raise FileNotFoundError(
+            f"DATA.BPE_PATH={bpe_path!r} not found; fetch "
+            "bpe_simple_vocab_16e6.txt.gz (see DATASET.md) or set "
+            "DEV.LOAD_DUMMY_DATA for synthetic smoke runs"
+        )
     return HashTokenizer()
 
 

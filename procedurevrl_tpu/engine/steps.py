@@ -124,9 +124,9 @@ def make_train_step(
             labels = jnp.broadcast_to(
                 batch["labels"].reshape(-1)[:1], (preds.shape[0],)
             )
-            top1, top5 = metrics_lib.topk_errors(
-                preds, labels, (1, min(5, preds.shape[0]))
-            )
+            # topks_correct clamps k to the class count; clamping to the
+            # batch size here would silently log top-B for micro-batch < 5
+            top1, top5 = metrics_lib.topk_errors(preds, labels, (1, 5))
             return loss, {"loss": loss, "kl": kl, "mse": mse,
                           "top1_err": top1, "top5_err": top5}
         if is_epic:

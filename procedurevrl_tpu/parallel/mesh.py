@@ -64,19 +64,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, replicate_keys: Sequence[str] = ()):
     """Device-put a host-global batch pytree with the leading axis sharded
-    over ``data``. Arrays whose leading dim doesn't divide are replicated."""
+    over ``data``.
+
+    Scalars and leaves whose path matches ``replicate_keys`` are replicated;
+    any other leaf whose leading dim doesn't divide the data axis is an
+    error (silent replication would hide a mis-shaped batch and burn
+    redundant compute on every device).
+    """
     ndata = mesh.shape[DATA_AXIS]
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
 
-    def put(x):
+    def put(path, x):
         x = np.asarray(x)
-        s = bs if x.ndim >= 1 and x.shape[0] % ndata == 0 else rep
-        return jax.device_put(x, s)
+        name = jax.tree_util.keystr(path)
+        if x.ndim == 0 or any(k in name for k in replicate_keys):
+            return jax.device_put(x, rep)
+        if x.shape[0] % ndata != 0:
+            raise ValueError(
+                f"batch leaf {name!r} has leading dim {x.shape[0]} which "
+                f"does not divide the data axis ({ndata} devices); pad the "
+                f"batch or pass the key in replicate_keys"
+            )
+        return jax.device_put(x, bs)
 
-    return jax.tree_util.tree_map(put, batch)
+    return jax.tree_util.tree_map_with_path(put, batch)
 
 
 def local_batch_slice(global_batch: int, num_hosts: int, host_id: int) -> slice:

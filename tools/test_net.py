@@ -35,9 +35,13 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh):
     """reference ``tools/test_net.py:31-158``."""
     test_meter.iter_tic()
     is_epic = cfg.TEST.DATASET == "Epickitchens"
-    for cur_iter, (batch, n_valid, extra) in enumerate(test_loader):
-        dev_batch = shard_batch(mesh, {"frames": batch["frames"]})
-        preds = jax.device_get(eval_step(state.params, dev_batch))
+    prefetched = loader_mod.prefetch_to_device(
+        test_loader, mesh, size=cfg.TPU.PREFETCH_DEPTH
+    )
+    for cur_iter, (dev_batch, n_valid, extra, batch) in enumerate(prefetched):
+        preds = jax.device_get(
+            eval_step(state.params, {"frames": dev_batch["frames"]})
+        )
         idx = batch["index"][:n_valid]
         if is_epic:
             test_meter.update_stats(

@@ -188,26 +188,42 @@ def train_epoch(
 
 
 def eval_epoch(val_loader, state, eval_step, val_meter, cfg, cur_epoch, mesh):
-    """reference ``tools/train_net.py:252-344``."""
+    """reference ``tools/train_net.py:252-344``.
+
+    Batches are prefetched to device one step ahead (same pipelining as
+    ``train_epoch``); the final partial val batch is padded by the loader,
+    so metrics only count the ``n_valid`` real rows.
+    """
     from procedurevrl_tpu.utils import metrics as metrics_lib
 
+    compiled = jax.jit(
+        eval_step, in_shardings=(replicated(mesh), batch_sharding(mesh))
+    )
+    n_batches = 0
     val_meter.iter_tic()
-    for cur_iter, (batch, n_valid, _extra) in enumerate(val_loader):
-        dev_batch = shard_batch(mesh, {"frames": batch["frames"]})
-        preds = jax.device_get(eval_step(state.params, dev_batch))
+    prefetched = loader_mod.prefetch_to_device(
+        val_loader, mesh, size=cfg.TPU.PREFETCH_DEPTH
+    )
+    for cur_iter, (dev_batch, n_valid, _extra, batch) in enumerate(prefetched):
+        n_batches += 1
+        preds = jax.device_get(
+            compiled(state.params, {"frames": dev_batch["frames"]})
+        )
         if isinstance(preds, tuple):  # EPIC
             v1, v5 = metrics_lib.topk_accuracies(
-                jnp.asarray(preds[0]), jnp.asarray(batch["verb"]), (1, 5))
+                jnp.asarray(preds[0][:n_valid]),
+                jnp.asarray(batch["verb"][:n_valid]), (1, 5))
             val_meter.update_stats(100.0 - float(v1), 100.0 - float(v5),
-                                   preds[0].shape[0])
+                                   n_valid)
         else:
-            labels = jnp.asarray(batch["labels"].reshape(-1))
+            labels = jnp.asarray(batch["labels"].reshape(-1)[:n_valid])
             top1, top5 = metrics_lib.topk_errors(
-                jnp.asarray(preds), labels, (1, 5))
-            val_meter.update_stats(float(top1), float(top5), preds.shape[0])
+                jnp.asarray(preds[:n_valid]), labels, (1, 5))
+            val_meter.update_stats(float(top1), float(top5), n_valid)
         val_meter.iter_toc()
         val_meter.log_iter_stats(cur_epoch, cur_iter)
         val_meter.iter_tic()
+    assert n_batches > 0, "val loader produced no batches"
     val_meter.log_epoch_stats(cur_epoch)
     val_meter.reset()
 
@@ -260,6 +276,7 @@ def train(cfg):
 
         writer = TensorboardWriter(cfg)
 
+    ckpt = cu.AsyncCheckpointer() if cfg.TPU.ASYNC_CHECKPOINT else None
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         loader_mod.shuffle_dataset(train_loader, cur_epoch)
@@ -268,13 +285,17 @@ def train(cfg):
             accum, rng, grad_apply, writer,
         )
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
-            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cfg, cur_epoch)
+            if ckpt is not None:
+                ckpt.save(cfg.OUTPUT_DIR, state, cfg, cur_epoch)
+            else:
+                cu.save_checkpoint(cfg.OUTPUT_DIR, state, cfg, cur_epoch)
         if val_loader is not None and misc.is_eval_epoch(cfg, cur_epoch):
-            try:
-                eval_epoch(val_loader, state, eval_step, val_meter, cfg,
-                           cur_epoch, mesh)
-            except (AssertionError, FileNotFoundError) as e:
-                logger.warning("eval_epoch skipped: %s", e)
+            # eval failures abort: a broken eval path must not let training
+            # keep running while looking healthy.
+            eval_epoch(val_loader, state, eval_step, val_meter, cfg,
+                       cur_epoch, mesh)
+    if ckpt is not None:
+        ckpt.wait()  # drain the in-flight save (and surface its errors)
     if writer is not None:
         writer.close()
     logger.info("Training done.")
