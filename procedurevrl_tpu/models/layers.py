@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from procedurevrl_tpu.ops.common import drop_path, gelu_exact, layer_norm_fp32, trunc_normal_init
-from procedurevrl_tpu.ops.attention import mhsa
+from procedurevrl_tpu.ops.attention import mhsa, mhsa_cls
 
 
 class LayerNormFp32(nn.Module):
@@ -71,6 +71,7 @@ class Attention(nn.Module):
         x: jax.Array,
         key_padding_mask: Optional[jax.Array] = None,
         time_axis: bool = False,
+        cls_stream: Optional[jax.Array] = None,
     ) -> jax.Array:
         qkv_w = self.param(
             "qkv_kernel", self.qkv_init or trunc_normal_init(0.02),
@@ -86,6 +87,10 @@ class Attention(nn.Module):
             (self.dim, self.dim), jnp.float32,
         )
         proj_b = self.param("proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        if cls_stream is not None:
+            # (frame_out, cls_out): every query attends over [cls; frames]
+            return mhsa_cls(x, cls_stream, qkv_w, qkv_b, proj_w, proj_b,
+                            self.num_heads, use_pallas=self.use_pallas)
         if time_axis:
             # x: [B, T, N, C], attention over T with batch (B, N).
             # One explicit (T, N) transpose each way beats axis einsums:
@@ -109,12 +114,29 @@ class Attention(nn.Module):
 
 
 class DropPath(nn.Module):
-    """Per-sample stochastic depth."""
+    """Per-sample stochastic depth.
+
+    A tuple input applies ONE shared per-sample mask to every element
+    (leading dims must match) — used by the CLS-split block where the cls
+    and frame-token streams must drop together, exactly as when they were
+    one concatenated tensor.
+    """
 
     rate: float
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+    def __call__(self, x, deterministic: bool):
         if deterministic or self.rate == 0.0:
             return x
+        if isinstance(x, tuple):
+            keep = 1.0 - self.rate
+            lead = x[0].shape[0]
+            assert all(e.shape[0] == lead for e in x)
+            mask = jax.random.bernoulli(
+                self.make_rng("droppath"), keep, (lead,)
+            )
+            def apply(e):
+                m = mask.reshape((lead,) + (1,) * (e.ndim - 1))
+                return jnp.where(m, e / keep, jnp.zeros_like(e))
+            return tuple(apply(e) for e in x)
         return drop_path(x, self.rate, False, self.make_rng("droppath"))

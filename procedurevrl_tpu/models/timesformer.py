@@ -88,15 +88,16 @@ class DividedSTBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(
-        self, x: jax.Array, T: int, W: int, deterministic: bool = True
-    ) -> jax.Array:
-        """x: [B, 1 + T*H*W, D] time-major: token (t, h, w) at
-        1 + t*(H*W) + (h*W + w)."""
-        B = x.shape[0]
-        num_spatial = (x.shape[1] - 1) // T
-        H = num_spatial // W
-        N = H * W
+    def __call__(self, x, T: int, W: int, deterministic: bool = True):
+        """Divided block on the token stream.
+
+        ``x`` is either the fused ``[B, 1 + T*H*W, D]`` time-major stream
+        (token (t, h, w) at ``1 + t*(H*W) + h*W + w``) or — the fast path
+        the encoder uses — a split ``(cls [B, 1, D], xt [B, T*H*W, D])``
+        tuple.  The split state removes the per-block concatenate/slice
+        round-trips of the fused layout (two full-stream copies per block,
+        forward and backward); the math is identical.
+        """
         D = self.dim
 
         norm1 = LayerNormFp32(eps=self.norm_eps, name="norm1")
@@ -111,35 +112,48 @@ class DividedSTBlock(nn.Module):
             x = x + dp(mlp(norm2(x)), deterministic)
             return x
 
+        split_input = isinstance(x, tuple)
+        if split_input:
+            init_cls, xt = x
+        else:
+            init_cls, xt = x[:, :1, :], x[:, 1:, :]
+        B = init_cls.shape[0]
+        N = xt.shape[1] // T
+
         temporal_norm1 = LayerNormFp32(eps=self.norm_eps, name="temporal_norm1")
         temporal_attn = Attention(D, self.num_heads, self.qkv_bias, self.dtype,
                                   self.use_pallas, name="temporal_attn")
         temporal_fc = nn.Dense(D, dtype=self.dtype,
                                kernel_init=trunc_normal_init(0.02), name="temporal_fc")
 
-        # ---- temporal attention over T per patch location (axis einsum,
-        # no relayout) ----
-        xt4 = x[:, 1:, :].reshape(B, T, N, D)
+        # ---- temporal attention over T per patch location ----
+        xt4 = xt.reshape(B, T, N, D)
         res_temporal = dp(
             temporal_attn(temporal_norm1(xt4), time_axis=True), deterministic
         )
         res_temporal = temporal_fc(res_temporal.reshape(B, T * N, D))
-        xt = x[:, 1:, :] + res_temporal
+        xt = xt + res_temporal
 
-        # ---- spatial attention over (1 + H*W) per frame (free reshape) ----
-        init_cls = x[:, :1, :]  # [B, 1, D]
-        cls_rep = jnp.broadcast_to(init_cls, (B, T, D)).reshape(B * T, 1, D)
-        xs = jnp.concatenate([cls_rep, xt.reshape(B * T, N, D)], axis=1)
-        res_spatial = dp(attn(norm1(xs)), deterministic)
-
-        cls_out = res_spatial[:, 0, :].reshape(B, T, D).mean(axis=1, keepdims=True)
-        res_spatial = res_spatial[:, 1:, :].reshape(B, T * N, D)
-
-        x = jnp.concatenate([init_cls, xt], axis=1) + jnp.concatenate(
-            [cls_out, res_spatial], axis=1
+        # ---- spatial attention over [cls] + H*W per frame ----
+        cls_n = norm1(init_cls)  # [B, 1, D]
+        cls_rep = jnp.broadcast_to(
+            cls_n[:, None], (B, T, 1, D)
+        ).reshape(B * T, 1, D)
+        res_frames, res_cls = attn(
+            norm1(xt.reshape(B * T, N, D)), cls_stream=cls_rep
         )
-        x = x + dp(mlp(norm2(x)), deterministic)
-        return x
+        # one shared per-(b,t) drop mask, as when cls+frames were one tensor
+        res_frames, res_cls = dp((res_frames, res_cls), deterministic)
+        cls_out = res_cls.reshape(B, T, D).mean(axis=1, keepdims=True)
+        xt = xt + res_frames.reshape(B, T * N, D)
+        cls = init_cls + cls_out
+
+        mlp_cls, mlp_xt = dp((mlp(norm2(cls)), mlp(norm2(xt))), deterministic)
+        cls = cls + mlp_cls
+        xt = xt + mlp_xt
+        if split_input:
+            return cls, xt
+        return jnp.concatenate([cls, xt], axis=1)
 
 
 class TimeSformer(nn.Module):
@@ -225,9 +239,9 @@ class TimeSformer(nn.Module):
             cls = tokens[:B, :1, :]
             spatial = tokens[:, 1:, :].reshape(B, T, n_tok, D)
             spatial = spatial + te.astype(self.dtype)[:, :, None, :]
-            # (b t) n -> b (t n): time-major token order, no transpose
-            spatial = spatial.reshape(B, T * n_tok, D)
-            tokens = jnp.concatenate([cls, spatial], axis=1)
+            # (b t) n -> b (t n): time-major token order, no transpose;
+            # cls travels as a separate stream (no per-block concats)
+            tokens = (cls, spatial.reshape(B, T * n_tok, D))
             eff_T = T
         else:
             eff_T = 1
@@ -263,7 +277,14 @@ class TimeSformer(nn.Module):
         if self.attention_type == "space_only":
             tokens = tokens.reshape(B, T, n_tok + 1, D).mean(axis=1)
 
-        tokens = LayerNormFp32(eps=self.norm_eps, name="norm")(tokens)
+        norm = LayerNormFp32(eps=self.norm_eps, name="norm")
+        if isinstance(tokens, tuple):
+            cls, xt = tokens
+            if return_tokens:
+                return norm(jnp.concatenate([cls, xt], axis=1))
+            # LN is per-token: norm(cls) == norm(concat)[:, 0]
+            return norm(cls)[:, 0]
+        tokens = norm(tokens)
         if return_tokens:
             return tokens
         return tokens[:, 0]

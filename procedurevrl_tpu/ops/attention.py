@@ -105,6 +105,51 @@ def mhsa_xla(
     return _out_project(out, proj_w, proj_b)
 
 
+def mhsa_cls(
+    x: jax.Array,
+    cls_x: jax.Array,
+    qkv_w: jax.Array,
+    qkv_b: jax.Array | None,
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    num_heads: int,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Self-attention with the CLS token as a separate stream.
+
+    ``x`` is the frame-token stream [B, N, C]; ``cls_x`` is [B, 1, C].
+    Every query attends over [cls; frames] (the divided-space-time spatial
+    pass, reference ``lib/models/vit.py:128-158``); keeping the CLS out of
+    the fused stream avoids materializing the [B, N+1, C] concat twice per
+    block. Returns (frame_out [B, N, C], cls_out [B, 1, C]).
+    """
+    from procedurevrl_tpu.ops.pallas_attention import (
+        MAX_FUSED_LEN, _heads_per_block, flash_attention_cls,
+    )
+
+    c = x.shape[-1]
+    head_dim = c // num_heads
+    if (
+        use_pallas
+        and 128 <= x.shape[1] <= MAX_FUSED_LEN
+        and _heads_per_block(head_dim, num_heads) > 0
+    ):
+        q, k, v = _qkv_project(x, qkv_w, qkv_b)
+        qc, kc, vc = _qkv_project(cls_x, qkv_w, qkv_b)
+        out, out_c = flash_attention_cls(
+            q, k, v, qc, kc, vc, num_heads, head_dim ** -0.5
+        )
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "flash_attn_out")
+        out_c = checkpoint_name(out_c, "flash_attn_out")
+        return _out_project(out, proj_w, proj_b), _out_project(out_c, proj_w, proj_b)
+    # XLA fallback: concat, plain attention, split
+    xs = jnp.concatenate([cls_x, x], axis=1)
+    out = mhsa_xla(xs, qkv_w, qkv_b, proj_w, proj_b, num_heads)
+    return out[:, 1:, :], out[:, :1, :]
+
+
 def mhsa(
     x: jax.Array,
     qkv_w: jax.Array,

@@ -229,6 +229,171 @@ def _fa_bwd(num_heads, scale, res, g):
 flash_attention_headfused.defvjp(_fa_fwd, _fa_bwd)
 
 
+# ---------------------------------------------------------------------------
+# CLS-aware variant: frame tokens and the CLS token travel as separate
+# streams (see models/timesformer.py CLS-split block). Per sequence the key
+# set is [cls] + frames and there is one extra cls query; keeping the CLS
+# out of the [B*T, N, C] stream removes the per-block concatenate/slice
+# traffic the fused layout otherwise pays twice per block (fwd + bwd).
+# ---------------------------------------------------------------------------
+
+
+def _set_row(x, row_vals, idx: int):
+    """Write the [1, d] ``row_vals`` into (static) row ``idx`` of ``x``."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows == idx, jnp.broadcast_to(row_vals, x.shape), x)
+
+
+def _fwd_cls_kernel(q_ref, k_ref, v_ref, qc_ref, kc_ref, vc_ref, o_ref, oc_ref,
+                    *, scale: float, n_valid: int, d: int, hpb: int, gb: int):
+    # The cls row is spliced into the tile's padding row ``n_valid`` so the
+    # whole computation stays on the plain [NP, NP] MXU path (rank-1 side
+    # computations measured ~2x slower); softmax is permutation-invariant
+    # over keys, so cls-at-the-end equals the reference's cls-in-front.
+    for g in range(gb):
+        for i in range(hpb):
+            sl = slice(i * d, (i + 1) * d)
+            q = _set_row(q_ref[g, :, sl], qc_ref[g, :, sl], n_valid)
+            k = _set_row(k_ref[g, :, sl], kc_ref[g, :, sl], n_valid)
+            v = _set_row(v_ref[g, :, sl], vc_ref[g, :, sl], n_valid)
+            p = _softmax_probs(q, k, scale, n_valid + 1)
+            v = _zero_tail_rows(v, n_valid + 1)
+            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            o_ref[g, :, sl] = o.astype(o_ref.dtype)
+            oc_ref[g, :, sl] = o[n_valid:n_valid + 1].astype(oc_ref.dtype)
+
+
+def _cls_spec(width: int, gb: int):
+    return pl.BlockSpec((gb, 1, width), lambda b, g: (b, 0, g),
+                        memory_space=pltpu.VMEM)
+
+
+def _flash_cls_fwd(q, k, v, qc, kc, vc, num_heads: int, scale: float):
+    b, n, c = q.shape
+    d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
+    assert hpb > 0, f"unsupported geometry: d={d}, H={num_heads}"
+    gb = _batch_group(b)
+    npad = _round_up(n + 1, 128)  # one padding row hosts the cls splice
+    spec = _head_spec(npad, d * hpb, gb)
+    cspec = _cls_spec(d * hpb, gb)
+    return pl.pallas_call(
+        functools.partial(_fwd_cls_kernel, scale=scale, n_valid=n, d=d,
+                          hpb=hpb, gb=gb),
+        grid=(b // gb, num_heads // hpb),
+        in_specs=[spec, spec, spec, cspec, cspec, cspec],
+        out_specs=[spec, cspec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), q.dtype),
+                   jax.ShapeDtypeStruct((b, 1, c), q.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * (npad + 1) * (npad + 1) * d,
+            bytes_accessed=4 * b * (n + 1) * c * q.dtype.itemsize,
+            transcendentals=b * num_heads * (npad + 1) * (npad + 1),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, qc, kc, vc)
+
+
+def _bwd_cls_kernel(q_ref, k_ref, v_ref, qc_ref, kc_ref, vc_ref, g_ref, gc_ref,
+                    dq_ref, dk_ref, dv_ref, dqc_ref, dkc_ref, dvc_ref,
+                    *, scale: float, n_valid: int, d: int, hpb: int, gb: int):
+    # Same cls-splice-into-padding-row trick as the forward: the combined
+    # (frames + cls) backward is exactly the plain kernel's math at
+    # n_valid + 1; the cls rows of dq/dk/dv are sliced back out at the end.
+    nv1 = n_valid + 1
+    for gi in range(gb):
+        for i in range(hpb):
+            sl = slice(i * d, (i + 1) * d)
+            q = _zero_tail_rows(
+                _set_row(q_ref[gi, :, sl], qc_ref[gi, :, sl], n_valid), nv1)
+            k = _zero_tail_rows(
+                _set_row(k_ref[gi, :, sl], kc_ref[gi, :, sl], n_valid), nv1)
+            v = _zero_tail_rows(
+                _set_row(v_ref[gi, :, sl], vc_ref[gi, :, sl], n_valid), nv1)
+            p = _softmax_probs(q, k, scale, nv1)  # [NP, NP] fp32
+
+            gf = _zero_tail_rows(
+                _set_row(g_ref[gi, :, sl], gc_ref[gi, :, sl], n_valid)
+                .astype(jnp.float32),
+                nv1,
+            )
+            dv = jax.lax.dot_general(
+                p, gf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv_ref[gi, :, sl] = dv.astype(dv_ref.dtype)
+            dvc_ref[gi, :, sl] = dv[n_valid:nv1].astype(dvc_ref.dtype)
+
+            dp = jax.lax.dot_general(
+                gf, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq = jnp.dot(ds, k.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) * scale
+            dq_ref[gi, :, sl] = dq.astype(dq_ref.dtype)
+            dqc_ref[gi, :, sl] = dq[n_valid:nv1].astype(dqc_ref.dtype)
+            dk = jax.lax.dot_general(
+                ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk_ref[gi, :, sl] = dk.astype(dk_ref.dtype)
+            dkc_ref[gi, :, sl] = dk[n_valid:nv1].astype(dkc_ref.dtype)
+
+
+def _flash_cls_bwd(q, k, v, qc, kc, vc, g, gc, num_heads: int, scale: float):
+    b, n, c = q.shape
+    d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
+    gb = _batch_group(b)
+    npad = _round_up(n + 1, 128)  # one padding row hosts the cls splice
+    spec = _head_spec(npad, d * hpb, gb)
+    cspec = _cls_spec(d * hpb, gb)
+    return pl.pallas_call(
+        functools.partial(_bwd_cls_kernel, scale=scale, n_valid=n, d=d,
+                          hpb=hpb, gb=gb),
+        grid=(b // gb, num_heads // hpb),
+        in_specs=[spec, spec, spec, cspec, cspec, cspec, spec, cspec],
+        out_specs=[spec, spec, spec, cspec, cspec, cspec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), q.dtype)] * 3
+        + [jax.ShapeDtypeStruct((b, 1, c), q.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * (npad + 1) * (npad + 1) * d,
+            bytes_accessed=8 * b * (n + 1) * c * q.dtype.itemsize,
+            transcendentals=2 * b * num_heads * (npad + 1) * (npad + 1),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, qc, kc, vc, g, gc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def flash_attention_cls(q, k, v, qc, kc, vc, num_heads, scale):
+    """Exact softmax attention with a split CLS stream.
+
+    Per sequence b: frame queries ``q[b]`` and the cls query ``qc[b]`` both
+    attend over keys ``[kc[b]; k[b]]`` / values ``[vc[b]; v[b]]``.
+
+    q, k, v: [B, N, H*d]; qc, kc, vc: [B, 1, H*d].
+    Returns (frame_out [B, N, H*d], cls_out [B, 1, H*d]).
+    """
+    return _flash_cls_fwd(q, k, v, qc, kc, vc, num_heads, scale)
+
+
+def _fac_fwd(q, k, v, qc, kc, vc, num_heads, scale):
+    return _flash_cls_fwd(q, k, v, qc, kc, vc, num_heads, scale), (
+        q, k, v, qc, kc, vc,
+    )
+
+
+def _fac_bwd(num_heads, scale, res, gs):
+    q, k, v, qc, kc, vc = res
+    g, gc = gs
+    return _flash_cls_bwd(q, k, v, qc, kc, vc, g, gc, num_heads, scale)
+
+
+flash_attention_cls.defvjp(_fac_fwd, _fac_bwd)
+
+
 def flash_mhsa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """Head-split convenience wrapper: q, k, v [B, H, N, D]."""
     b, h, n, d = q.shape

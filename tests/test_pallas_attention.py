@@ -62,3 +62,97 @@ def test_flash_bf16_close():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# CLS-split kernel (frame stream + separate cls stream)
+# ---------------------------------------------------------------------------
+
+
+def _cls_ref(q, k, v, qc, kc, vc, scale):
+    """Reference: concat cls in front, plain attention, split."""
+    qq = jnp.concatenate([qc, q], axis=2)
+    kk = jnp.concatenate([kc, k], axis=2)
+    vv = jnp.concatenate([vc, v], axis=2)
+    out = attention_core(qq, kk, vv, scale)
+    return out[:, :, 1:], out[:, :, :1]
+
+
+def _fold(x):
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def _unfold(x, h):
+    b, n, c = x.shape
+    return x.reshape(b, n, h, c // h).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("n", [196, 128, 130])
+def test_flash_cls_forward_matches_xla(n):
+    from procedurevrl_tpu.ops.pallas_attention import flash_attention_cls
+
+    rng = np.random.RandomState(3)
+    b, h, d = 2, 4, 64
+    q, k, v = (jnp.asarray(rng.randn(b, h, n, d), jnp.float32) for _ in range(3))
+    qc, kc, vc = (jnp.asarray(rng.randn(b, h, 1, d), jnp.float32) for _ in range(3))
+    scale = d ** -0.5
+    ref_f, ref_c = _cls_ref(q, k, v, qc, kc, vc, scale)
+    out_f, out_c = flash_attention_cls(
+        _fold(q), _fold(k), _fold(v), _fold(qc), _fold(kc), _fold(vc), h, scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(_unfold(out_f, h)), np.asarray(ref_f), atol=2e-5, rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(_unfold(out_c, h)), np.asarray(ref_c), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_flash_cls_grad_matches_xla():
+    from procedurevrl_tpu.ops.pallas_attention import flash_attention_cls
+
+    rng = np.random.RandomState(4)
+    b, h, n, d = 1, 2, 196, 64
+    q, k, v = (jnp.asarray(rng.randn(b, h, n, d), jnp.float32) for _ in range(3))
+    qc, kc, vc = (jnp.asarray(rng.randn(b, h, 1, d), jnp.float32) for _ in range(3))
+    scale = d ** -0.5
+
+    def loss_ref(*args):
+        f, c = _cls_ref(*args, scale)
+        return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(c))
+
+    def loss_flash(q, k, v, qc, kc, vc):
+        f, c = flash_attention_cls(
+            _fold(q), _fold(k), _fold(v), _fold(qc), _fold(kc), _fold(vc),
+            h, scale,
+        )
+        return jnp.sum(jnp.sin(_unfold(f, h))) + 2.0 * jnp.sum(
+            jnp.cos(_unfold(c, h))
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(q, k, v, qc, kc, vc)
+    g_out = jax.grad(loss_flash, argnums=tuple(range(6)))(q, k, v, qc, kc, vc)
+    for a, b_ in zip(g_out, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-5
+        )
+
+
+def test_mhsa_cls_pallas_matches_fallback():
+    """Full mhsa_cls dispatcher: pallas path vs XLA concat fallback."""
+    from procedurevrl_tpu.ops.attention import mhsa_cls
+
+    rng = np.random.RandomState(5)
+    b, n, c, heads = 2, 196, 128, 2
+    x = jnp.asarray(rng.randn(b, n, c), jnp.float32)
+    cls_x = jnp.asarray(rng.randn(b, 1, c), jnp.float32)
+    qkv_w = jnp.asarray(rng.randn(c, 3 * c) * 0.05, jnp.float32)
+    qkv_b = jnp.asarray(rng.randn(3 * c) * 0.05, jnp.float32)
+    proj_w = jnp.asarray(rng.randn(c, c) * 0.05, jnp.float32)
+    proj_b = jnp.asarray(rng.randn(c) * 0.05, jnp.float32)
+    args = (qkv_w, qkv_b, proj_w, proj_b, heads)
+    f0, c0 = mhsa_cls(x, cls_x, *args, use_pallas=False)
+    f1, c1 = mhsa_cls(x, cls_x, *args, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=2e-5, rtol=2e-5)
