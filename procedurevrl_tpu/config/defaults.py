@@ -321,6 +321,9 @@ def _build_defaults() -> CfgNode:
     # Ship uint8 frames to the device and normalize there (4x less
     # host->device traffic; normalization fuses into the stem).
     _C.TPU.HOST_UINT8 = True
+    # Save checkpoints from a background thread (device-side snapshot +
+    # async device->host fetch) so the save overlaps the next epoch.
+    _C.TPU.ASYNC_CHECKPOINT = True
     # Profiler: capture a device trace for steps [START, START+STEPS) of
     # epoch 0 into OUTPUT_DIR/profile (view with tensorboard/xprof).
     _C.TPU.PROFILE_STEPS = 0

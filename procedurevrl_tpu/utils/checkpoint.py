@@ -47,8 +47,10 @@ def get_path_to_checkpoint(path_to_job: str, epoch: int) -> str:
 
 def get_last_checkpoint(path_to_job: str) -> Optional[str]:
     d = get_checkpoint_dir(path_to_job)
+    # only completed saves: a crash mid-save leaves a .pyth.tmp that would
+    # sort after the real checkpoint and break AUTO_RESUME on unpickle
     names = (
-        [f for f in os.listdir(d) if "checkpoint" in f]
+        [f for f in os.listdir(d) if "checkpoint" in f and f.endswith(".pyth")]
         if os.path.isdir(d)
         else []
     )
@@ -68,13 +70,7 @@ def is_checkpoint_epoch(cfg, cur_epoch: int) -> bool:
     return (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
 
 
-def save_checkpoint(path_to_job: str, state, cfg, epoch: int) -> Optional[str]:
-    """Master-host-only save of the TrainState + config."""
-    if jax.process_index() != 0:
-        return None
-    make_checkpoint_dir(path_to_job)
-    path = get_path_to_checkpoint(path_to_job, epoch + 1)
-    host_state = jax.device_get(state)
+def _write_payload(path: str, host_state, cfg, epoch: int) -> str:
     payload = {
         "epoch": epoch,
         "model_state": serialization.to_bytes(host_state.params),
@@ -88,6 +84,67 @@ def save_checkpoint(path_to_job: str, state, cfg, epoch: int) -> Optional[str]:
     os.replace(tmp, path)
     logger.info("Saved checkpoint to %s", path)
     return path
+
+
+def save_checkpoint(path_to_job: str, state, cfg, epoch: int) -> Optional[str]:
+    """Master-host-only synchronous save of the TrainState + config."""
+    if jax.process_index() != 0:
+        return None
+    make_checkpoint_dir(path_to_job)
+    path = get_path_to_checkpoint(path_to_job, epoch + 1)
+    return _write_payload(path, jax.device_get(state), cfg, epoch)
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writer (reference saves synchronously,
+    ``lib/utils/checkpoint.py:107-136``; a blocking device fetch of the full
+    params + optimizer state stalls training ~95 s through the device
+    tunnel).
+
+    ``save`` takes a *device-side snapshot* of the state (a jitted identity
+    — an HBM-to-HBM copy, milliseconds) and hands it to a background thread
+    that performs the device->host fetch and the pickle/write.  The snapshot
+    makes the fetch safe against the train loop's buffer donation: the live
+    state can be donated into the next step while the copy drains.  At most
+    one save is in flight; a second save (or ``wait()``) joins the first.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread: Optional[Any] = None
+        self._error: Optional[BaseException] = None
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) has finished."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def save(self, path_to_job: str, state, cfg, epoch: int) -> Optional[str]:
+        if jax.process_index() != 0:
+            return None
+        self.wait()
+        make_checkpoint_dir(path_to_job)
+        path = get_path_to_checkpoint(path_to_job, epoch + 1)
+        snapshot = jax.jit(lambda s: s)(state)
+        jax.tree_util.tree_map(lambda x: x.copy_to_host_async(), snapshot)
+
+        def work():
+            try:
+                _write_payload(path, jax.device_get(snapshot), cfg, epoch)
+            except BaseException as e:  # surfaced on the next wait()
+                self._error = e
+
+        self._thread = self._threading.Thread(
+            target=work, name="ckpt-writer", daemon=False
+        )
+        self._thread.start()
+        return path
 
 
 def is_native_checkpoint(path: str) -> bool:
