@@ -63,8 +63,13 @@ def main():
 
     import os as _os
 
+    bench_model = _os.environ.get("BENCH_MODEL", "timesformer")
     cfg = get_cfg()
-    cfg.merge_from_file("configs/HowTo100M/procedurevrl_adamw.yaml")
+    cfg.merge_from_file(
+        "configs/HowTo100M/procedurevrl_mvitv2_adamw.yaml"
+        if bench_model == "mvit"
+        else "configs/HowTo100M/procedurevrl_adamw.yaml"
+    )
     cfg.DEV.LOAD_DUMMY_DATA = True
     cfg.OUTPUT_DIR = "/tmp/bench_out"
     if _os.environ.get("BENCH_REMAT"):
@@ -73,7 +78,7 @@ def main():
         cfg.TPU.USE_PALLAS_ATTENTION = _os.environ["BENCH_PALLAS"] == "1"
 
     # samples per step; each sample is ORDER_PRETRAIN_MAX_LEN = 9 clips
-    B = int(_os.environ.get("BENCH_B", "2"))
+    B = int(_os.environ.get("BENCH_B", "1" if bench_model == "mvit" else "2"))
     M = cfg.DEV.ORDER_PRETRAIN_MAX_LEN
     T = cfg.DATA.NUM_FRAMES
     S = cfg.DATA.TRAIN_CROP_SIZE
@@ -109,6 +114,9 @@ def main():
         jax.block_until_ready(metrics["loss"])
         note(f"warmup step {i} done")
 
+    # the step itself folds state.step into its rngs, so every iteration's
+    # RNG-dependent branches (mask indices, recognition subset) differ;
+    # donation keeps executions distinct through the caching tunnel
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -119,10 +127,29 @@ def main():
     n_chips = jax.device_count()
     clips_per_sec_chip = B * M * n_steps / dt / n_chips
 
-    flops_clip = encoder_train_flops_per_clip(cfg)
+    if bench_model == "mvit":
+        # exact encoder fwd FLOPs from the compiler's cost analysis
+        import jax.numpy as jnp
+
+        enc_fn = jax.jit(
+            lambda p, xx: model.apply(
+                {"params": p}, xx,
+                label_emb=None if label_emb is None else jnp.asarray(label_emb),
+                train=False,
+            )
+        )
+        x1 = jnp.zeros((1, T, S, S, 3), jnp.float32)
+        cost = enc_fn.lower(state.params, x1).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_clip = float(cost["flops"]) * 3.0  # fwd + 2x bwd
+        label = f"pretrain clips/sec/chip (MViT-v2-S {T}f, order pretraining)"
+    else:
+        flops_clip = encoder_train_flops_per_clip(cfg)
+        label = "pretrain clips/sec/chip (TimeSformer-B 8f, order pretraining)"
     sol = peak_tflops() * 1e12 / flops_clip  # clips/sec/chip at 100% MFU
     print(json.dumps({
-        "metric": "pretrain clips/sec/chip (TimeSformer-B 8f, order pretraining)",
+        "metric": label,
         "value": round(clips_per_sec_chip, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec_chip / sol, 4),

@@ -238,14 +238,16 @@ class DepthwisePool3D(nn.Module):
             tuple(self.kernel) + (1, self.head_dim), jnp.float32,
         )
         pads = tuple((k // 2, k // 2) for k in self.kernel)
+        # no preferred_element_type: a fp32-widened output makes the conv
+        # VJP a mixed-dtype conv (fp32 cotangent x bf16 kernel), which
+        # lax.conv rejects; TPU convs accumulate fp32 internally anyway
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype),
             window_strides=tuple(self.stride),
             padding=pads,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             feature_group_count=self.head_dim,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        )
 
 
 def _pooled_thw(thw, kernel, stride) -> Tuple[int, int, int]:
@@ -378,6 +380,7 @@ class MultiScaleAttention(nn.Module):
     rel_pos_zero_init: bool = False
     residual_pooling: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def _pool(self, name: str, x, thw, kernel, stride, with_norm=True):
         """attention_pool (reference ``attention.py:14-48``): x [B, H, L, d];
@@ -405,6 +408,54 @@ class MultiScaleAttention(nn.Module):
             x = LayerNormFp32(eps=1e-6, name=f"norm_{name}")(x)
         return x, new_thw
 
+    def _fused_attention(self, q, k, v, q_shape, k_shape,
+                         rel_pos_h, rel_pos_w, rel_pos_t, scale):
+        """Flash pooled attention (see ``ops/pallas_mvit_attention``): the
+        [B, H, qN, kN] logits never hit HBM; rel-pos bias is decomposed into
+        three small [.., qN, k_*] tables computed here and expanded in-tile.
+        The single cls query row stays in plain XLA."""
+        from procedurevrl_tpu.ops.pallas_mvit_attention import (
+            flash_attention_mvit,
+        )
+
+        B, H, _, d = q.shape
+        q_t, q_h, q_w = q_shape
+        k_t, k_h, k_w = k_shape
+        qc, qb = q[:, :, :1], q[:, :, 1:]
+        kc, kb = k[:, :, :1], k[:, :, 1:]
+        vc, vb = v[:, :, :1], v[:, :, 1:]
+        Rh = _interp_rel_pos(rel_pos_h, int(2 * max(q_h, k_h) - 1))[
+            jnp.asarray(_rel_dist_table(q_h, k_h))]
+        Rw = _interp_rel_pos(rel_pos_w, int(2 * max(q_w, k_w) - 1))[
+            jnp.asarray(_rel_dist_table(q_w, k_w))]
+        Rt = _interp_rel_pos(rel_pos_t, int(2 * max(q_t, k_t) - 1))[
+            jnp.asarray(_rel_dist_table(q_t, k_t))]
+        r_q = qb.reshape(B, H, q_t, q_h, q_w, d)
+        rel_h = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+        rel_w = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+        rel_t = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+        qn = q_t * q_h * q_w
+        fold = lambda x, n: x.reshape(B * H, n, x.shape[-1])
+        out_body = flash_attention_mvit(
+            fold(qb, qn), fold(kb, kb.shape[2]), fold(vb, vb.shape[2]),
+            fold(kc, 1), fold(vc, 1),
+            fold(rel_t.astype(jnp.float32).reshape(B, H, qn, k_t), qn),
+            fold(rel_h.astype(jnp.float32).reshape(B, H, qn, k_h), qn),
+            fold(rel_w.astype(jnp.float32).reshape(B, H, qn, k_w), qn),
+            (k_t, k_h, k_w), float(scale),
+        ).reshape(B, H, qn, d)
+        # cls query: one row over the full (cls-first) key set, no rel bias
+        lc = jnp.einsum("bhqd,bhkd->bhqk", qc * scale, k,
+                        preferred_element_type=jnp.float32)
+        out_c = jnp.einsum(
+            "bhqk,bhkd->bhqd", jax.nn.softmax(lc, axis=-1).astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+        return jnp.concatenate([out_c, out_body], axis=2)
+
     @nn.compact
     def __call__(self, x: jax.Array, thw: Tuple[int, int, int]):
         B, N, _ = x.shape
@@ -422,40 +473,61 @@ class MultiScaleAttention(nn.Module):
         k, k_shape = self._pool("k", k, thw, self.kernel_kv, self.stride_kv)
         v, v_shape = self._pool("v", v, thw, self.kernel_kv, self.stride_kv)
 
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
+        rel_pos_h = rel_pos_w = rel_pos_t = None
+        init = (nn.initializers.zeros if self.rel_pos_zero_init
+                else trunc_normal_init(0.02))
         if self.rel_pos_spatial:
             size = self.input_size[1]
             q_size = size // self.stride_q[1] if self.stride_q else size
             kv_size = size // self.stride_kv[1] if self.stride_kv else size
             rel_sp_dim = 2 * max(q_size, kv_size) - 1
-            init = (nn.initializers.zeros if self.rel_pos_zero_init
-                    else trunc_normal_init(0.02))
             rel_pos_h = self.param("rel_pos_h", init, (rel_sp_dim, head_dim),
                                    jnp.float32)
             rel_pos_w = self.param("rel_pos_w", init, (rel_sp_dim, head_dim),
                                    jnp.float32)
-            attn = add_rel_pos_spatial(
-                attn, q, self.has_cls_embed, q_shape, k_shape,
-                rel_pos_h, rel_pos_w,
-            )
         if self.rel_pos_temporal:
-            init = (nn.initializers.zeros if self.rel_pos_zero_init
-                    else trunc_normal_init(0.02))
             rel_pos_t = self.param(
                 "rel_pos_t", init, (2 * self.input_size[0] - 1, head_dim),
                 jnp.float32,
             )
-            attn = add_rel_pos_temporal(
-                attn, q, self.has_cls_embed, q_shape, k_shape, rel_pos_t
-            )
-        attn = jax.nn.softmax(attn, axis=-1)
 
-        out = jnp.einsum(
-            "bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
+        from procedurevrl_tpu.ops.pallas_mvit_attention import (
+            MAX_FUSED_KN, MIN_FUSED_QN,
+        )
+
+        use_fused = (
+            self.use_pallas
+            and self.rel_pos_spatial
+            and self.rel_pos_temporal
+            and self.has_cls_embed
+            and int(np.prod(q_shape)) >= MIN_FUSED_QN
+            and int(np.prod(k_shape)) <= MAX_FUSED_KN
+        )
+        if use_fused:
+            out = self._fused_attention(
+                q, k, v, q_shape, k_shape,
+                rel_pos_h, rel_pos_w, rel_pos_t, scale,
+            )
+        else:
+            attn = jnp.einsum(
+                "bhqd,bhkd->bhqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            if self.rel_pos_spatial:
+                attn = add_rel_pos_spatial(
+                    attn, q, self.has_cls_embed, q_shape, k_shape,
+                    rel_pos_h, rel_pos_w,
+                )
+            if self.rel_pos_temporal:
+                attn = add_rel_pos_temporal(
+                    attn, q, self.has_cls_embed, q_shape, k_shape, rel_pos_t
+                )
+            attn = jax.nn.softmax(attn, axis=-1)
+
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
 
         if self.residual_pooling:
             # residual Q connection (reference :431-435)
@@ -495,6 +567,7 @@ class MultiScaleBlock(nn.Module):
     residual_pooling: bool = False
     dim_mul_in_att: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, thw, deterministic: bool = True):
@@ -510,7 +583,7 @@ class MultiScaleBlock(nn.Module):
             rel_pos_temporal=self.rel_pos_temporal,
             rel_pos_zero_init=self.rel_pos_zero_init,
             residual_pooling=self.residual_pooling,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, use_pallas=self.use_pallas, name="attn",
         )(x_norm, thw)
         dp = DropPath(self.drop_path_rate, name="drop_path")
 
@@ -554,6 +627,7 @@ class MViTEncoder(nn.Module):
     cfg: MViTConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
@@ -571,12 +645,13 @@ class MViTEncoder(nn.Module):
         b = self.param("patch_embed_bias", nn.initializers.zeros,
                        (c.embed_dim,), jnp.float32)
         pads = tuple((p, p) for p in c.patch_padding)
+        # no preferred_element_type (see DepthwisePool3D: its VJP would be a
+        # mixed-dtype conv); TPU convs accumulate fp32 internally
         grid = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype),
             window_strides=tuple(c.patch_stride), padding=pads,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype) + b.astype(self.dtype)
+        ) + b.astype(self.dtype)
         T, H, W = grid.shape[1:4]
         assert [T, H, W] == patch_dims, (grid.shape, patch_dims)
         tokens = grid.reshape(B, T * H * W, c.embed_dim)
@@ -617,7 +692,11 @@ class MViTEncoder(nn.Module):
             block_cls = nn.remat(MultiScaleBlock, static_argnums=(2, 3),
                                  prevent_cse=False)
         for i, spec in enumerate(plan):
-            tokens, thw = block_cls(
+            # thw comes from the static schedule (spec["input_size"]), not
+            # the block's return value: under nn.remat the returned tuple
+            # would become tracers and poison downstream static reshapes
+            thw = tuple(spec["input_size"])
+            tokens, _ = block_cls(
                 dim=spec["dim"], dim_out=spec["dim_out"],
                 num_heads=spec["num_heads"], input_size=spec["input_size"],
                 mlp_ratio=c.mlp_ratio, qkv_bias=c.qkv_bias,
@@ -629,7 +708,8 @@ class MViTEncoder(nn.Module):
                 rel_pos_temporal=c.rel_pos_temporal,
                 residual_pooling=c.residual_pooling,
                 dim_mul_in_att=c.dim_mul_in_att,
-                dtype=self.dtype, name=f"blocks_{i}",
+                dtype=self.dtype, use_pallas=self.use_pallas,
+                name=f"blocks_{i}",
             )(tokens, thw, deterministic)
 
         norm = LayerNormFp32(eps=1e-6, name="norm")

@@ -98,7 +98,8 @@ class ProcedureVRL(nn.Module):
             from procedurevrl_tpu.models.mvit import MViTEncoder
 
             self.encoder = MViTEncoder(
-                cfg=self.mvit_cfg, dtype=self.dtype, name="encoder"
+                cfg=self.mvit_cfg, dtype=self.dtype, remat=self.remat,
+                use_pallas=self.use_pallas, name="encoder",
             )
         else:
             raise ValueError(f"Unknown encoder {self.encoder_name}")

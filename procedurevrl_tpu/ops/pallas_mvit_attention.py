@@ -1,0 +1,273 @@
+"""Fused flash attention for MViT pooled multi-scale attention.
+
+Replaces the XLA path in ``models/mvit.py`` that materializes the full
+``[B, H, qN, kN]`` fp32 logits plus the rel-pos reshape/concat traffic
+(reference ``lib/models/slowfast_mvit/attention.py:162-442``).  MViT's
+pooled attention is extremely rectangular — qN up to 25k tokens while the
+pooled key set stays ~400 — so the kernel tiles queries and keeps the whole
+K/V block VMEM-resident:
+
+- grid ``(B*H, ceil(qN / TQ))``; per step one [TQ, d] query tile attends
+  over the full [KP, d] key/value block (d = 96 rides the "full array dim"
+  Mosaic lane rule);
+- the decomposed rel-pos bias ``bias[q, (t',h',w')] = rel_t[q,t'] +
+  rel_h[q,h'] + rel_w[q,w']`` is added in-tile as three tiny MXU matmuls
+  against constant 0/1 expander matrices ``e_* [k_*, KP]`` — the
+  ``[.., qN, k_*]`` rel tables are computed outside with small einsums
+  (qN x 7/8, negligible next to qN x kN) and never expanded in HBM;
+- the CLS key/value is spliced into the first key padding column (the same
+  trick as the TimeSformer cls kernel); expander columns there are zero, so
+  no bias lands on the cls key, matching the reference's body-only rel-pos.
+  The single CLS *query* row stays outside in plain XLA (1 x kN is free);
+- backward recomputes probabilities flash-style and accumulates dk/dv in
+  fp32 across query tiles (grid iterates tiles innermost, ``pl.when`` zeros
+  the accumulator on the first tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from procedurevrl_tpu.ops.pallas_attention import _interpret, _round_up
+
+TQ = 512  # default query rows per tile
+
+
+def _tile_q(kp: int) -> int:
+    """Query rows per tile, shrunk for wide key blocks: the backward holds
+    ~3 fp32 [TQ, KP] arrays (p, dp, ds) live at once, which must fit the
+    16 MB VMEM stack alongside the fp32 dk/dv accumulators."""
+    for tq in (512, 256, 128, 64):
+        if 3 * tq * kp * 4 + 2 * kp * 96 * 4 <= 9 * 2 ** 20:
+            return tq
+    return 32
+
+# worthwhile only when the full logits are big and the key set fits VMEM
+MIN_FUSED_QN = 1024
+MAX_FUSED_KN = 2048
+
+
+def expanders(k_shape, kp: int) -> tuple:
+    """0/1 expander matrices e_t [k_t, KP], e_h [k_h, KP], e_w [k_w, KP]
+    mapping the per-axis rel-pos tables onto flattened key columns
+    (column j = (t', h', w') row-major); padding + cls columns stay zero."""
+    k_t, k_h, k_w = k_shape
+    kn = k_t * k_h * k_w
+    cols = np.arange(kn)
+    e_t = np.zeros((k_t, kp), np.float32)
+    e_h = np.zeros((k_h, kp), np.float32)
+    e_w = np.zeros((k_w, kp), np.float32)
+    e_t[cols // (k_h * k_w), cols] = 1.0
+    e_h[(cols // k_w) % k_h, cols] = 1.0
+    e_w[cols % k_w, cols] = 1.0
+    return e_t, e_h, e_w
+
+
+def _valid_rows(tile_idx, qn: int, tq: int):
+    """Number of valid query rows in tile ``tile_idx`` (ragged tail)."""
+    return jnp.minimum(qn - tile_idx * tq, tq)
+
+
+def _mask_rows(x, n_valid):
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows < n_valid, x, jnp.zeros_like(x))
+
+
+def _probs(q, k, rel_t, rel_h, rel_w, e_t, e_h, e_w, scale: float, kn: int):
+    """fp32 softmax probs for one query tile over the spliced key block.
+
+    Key column ``kn`` is the cls (no bias); columns > kn are padding."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [TQ, KP]
+    bias = (
+        jax.lax.dot_general(rel_t, e_t, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(rel_h, e_h, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(rel_w, e_w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    s = s + bias
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col <= kn, s, jnp.finfo(jnp.float32).min)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _splice_cls(k, kc, kn: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+    return jnp.where(rows == kn, jnp.broadcast_to(kc, k.shape), k)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
+                et_ref, eh_ref, ew_ref, o_ref, *, scale: float, qn: int,
+                kn: int):
+    k = _splice_cls(k_ref[0], kc_ref[0], kn)
+    v = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
+    p = _probs(q_ref[0], k, rt_ref[0], rh_ref[0], rw_ref[0],
+               et_ref[...], eh_ref[...], ew_ref[...], scale, kn)
+    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
+                et_ref, eh_ref, ew_ref, g_ref,
+                dq_ref, dkf_ref, dvf_ref, drt_ref, drh_ref, drw_ref,
+                *, scale: float, qn: int, kn: int, tq: int):
+    qt = pl.program_id(1)
+    nvalid = _valid_rows(qt, qn, tq)
+    q = _mask_rows(q_ref[0], nvalid)
+    # mask key padding rows: ds columns there are zero, but 0 * garbage
+    # (NaN in interpret mode) would still poison dq = ds @ k
+    k = _mask_rows(_splice_cls(k_ref[0], kc_ref[0], kn), kn + 1)
+    v = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
+    rt = _mask_rows(rt_ref[0], nvalid)
+    rh = _mask_rows(rh_ref[0], nvalid)
+    rw = _mask_rows(rw_ref[0], nvalid)
+    et, eh, ew = et_ref[...], eh_ref[...], ew_ref[...]
+    p = _probs(q, k, rt, rh, rw, et, eh, ew, scale, kn)
+    gf = _mask_rows(g_ref[0].astype(jnp.float32), nvalid)
+
+    dv = jax.lax.dot_general(p, gf, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(gf, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [TQ, KP]
+    dq_ref[0] = (jnp.dot(ds, k.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+                 * scale).astype(dq_ref.dtype)
+    dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    drt_ref[0] = jax.lax.dot_general(
+        ds, et, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drt_ref.dtype)
+    drh_ref[0] = jax.lax.dot_general(
+        ds, eh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drh_ref.dtype)
+    drw_ref[0] = jax.lax.dot_general(
+        ds, ew, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drw_ref.dtype)
+
+    @pl.when(qt == 0)
+    def _init():
+        dkf_ref[0] = jnp.zeros_like(dkf_ref[0])
+        dvf_ref[0] = jnp.zeros_like(dvf_ref[0])
+
+    dkf_ref[0] += dk
+    dvf_ref[0] += dv
+
+
+def _specs(bh: int, qn: int, kp: int, d: int, k_shape, tq: int):
+    k_t, k_h, k_w = k_shape
+    qs = pl.BlockSpec((1, tq, d), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, kp, d), lambda b, t: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((1, 1, d), lambda b, t: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    rt = pl.BlockSpec((1, tq, k_t), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM)
+    rh = pl.BlockSpec((1, tq, k_h), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM)
+    rw = pl.BlockSpec((1, tq, k_w), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM)
+    et = pl.BlockSpec((k_t, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    eh = pl.BlockSpec((k_h, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    ew = pl.BlockSpec((k_w, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    return qs, ks, cs, rt, rh, rw, et, eh, ew
+
+
+def _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
+    bh, qn, d = q.shape
+    kn = k.shape[1]
+    kp = _round_up(kn + 1, 128)
+    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    tq = _tile_q(kp)
+    qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
+    grid = (bh, (qn + tq - 1) // tq)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, qn=qn, kn=kn),
+        grid=grid,
+        in_specs=[qs, ks, ks, cs, cs, rt, rh, rw, et, eh, ew],
+        out_specs=qs,
+        out_shape=jax.ShapeDtypeStruct((bh, qn, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * qn * kp * d,
+            bytes_accessed=2 * bh * qn * d * q.dtype.itemsize,
+            transcendentals=bh * qn * kp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, kc, vc, rel_t, rel_h, rel_w, e_t, e_h, e_w)
+
+
+def _bwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale, g):
+    bh, qn, d = q.shape
+    kn = k.shape[1]
+    k_t, k_h, k_w = k_shape
+    kp = _round_up(kn + 1, 128)
+    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    tq = _tile_q(kp)
+    qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
+    kacc = pl.BlockSpec((1, kp, d), lambda b, t: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    grid = (bh, (qn + tq - 1) // tq)
+    dq, dkf, dvf, drt, drh, drw = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, qn=qn, kn=kn, tq=tq),
+        grid=grid,
+        in_specs=[qs, ks, ks, cs, cs, rt, rh, rw, et, eh, ew, qs],
+        out_specs=[qs, kacc, kacc, rt, rh, rw],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, qn, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, qn, k_t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, qn, k_h), jnp.float32),
+            jax.ShapeDtypeStruct((bh, qn, k_w), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * qn * kp * d,
+            bytes_accessed=6 * bh * qn * d * q.dtype.itemsize,
+            transcendentals=bh * qn * kp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, kc, vc, rel_t, rel_h, rel_w, e_t, e_h, e_w, g)
+    dk = dkf[:, :kn].astype(k.dtype)
+    dv = dvf[:, :kn].astype(v.dtype)
+    dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
+    dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
+    return (dq, dk, dv, dkc, dvc, drt.astype(rel_t.dtype),
+            drh.astype(rel_h.dtype), drw.astype(rel_w.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def flash_attention_mvit(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
+    """Body-query pooled attention with decomposed rel-pos bias.
+
+    q [BH, qN, d]; k, v [BH, kN, d] (body keys, row-major (t', h', w'));
+    kc, vc [BH, 1, d] cls key/value; rel_t/h/w [BH, qN, k_t/k_h/k_w] fp32
+    bias tables (no bias lands on the cls key).  Returns the body-query
+    outputs [BH, qN, d]; the cls query is one row — compute it outside.
+    """
+    return _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale)
+
+
+def _vjp_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
+    out = _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale)
+    return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w)
+
+
+def _vjp_bwd(k_shape, scale, res, g):
+    return _bwd(*res, k_shape, scale, g)
+
+
+flash_attention_mvit.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,63 @@
+"""MViT fused pooled-attention kernel vs the XLA path (interpret on CPU).
+
+Covers ragged query tiles (qN not a multiple of the tile), rel-pos bias
+expansion, the spliced cls key, and gradients through q/k/v and the rel-pos
+tables."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from procedurevrl_tpu.models.mvit import MultiScaleAttention
+
+
+def _attn(use_pallas):
+    return MultiScaleAttention(
+        dim=64, dim_out=64, input_size=(2, 24, 24), num_heads=1,
+        qkv_bias=True, kernel_q=(), kernel_kv=(3, 3, 3), stride_q=(),
+        stride_kv=(1, 3, 3), mode="conv", has_cls_embed=True,
+        rel_pos_spatial=True, rel_pos_temporal=True, residual_pooling=True,
+        use_pallas=use_pallas,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    thw = (2, 24, 24)
+    N = 1 + int(np.prod(thw))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, N, 64) * 0.5, jnp.float32)
+    params = _attn(False).init(jax.random.PRNGKey(0), x, thw)["params"]
+    return x, thw, params
+
+
+def test_mvit_fused_forward_matches_xla(setup):
+    x, thw, params = setup
+    ref, thw_ref = _attn(False).apply({"params": params}, x, thw)
+    out, thw_out = _attn(True).apply({"params": params}, x, thw)
+    assert thw_ref == thw_out
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mvit_fused_grads_match_xla(setup):
+    x, thw, params = setup
+
+    def loss(use_pallas, params, x):
+        out, _ = _attn(use_pallas).apply({"params": params}, x, thw)
+        return jnp.sum(jnp.sin(out))
+
+    g_ref = jax.grad(lambda p, x: loss(False, p, x), argnums=(0, 1))(params, x)
+    g_out = jax.grad(lambda p, x: loss(True, p, x), argnums=(0, 1))(params, x)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_out = jax.tree_util.tree_leaves_with_path(g_out)
+    for (path, a), (_, b) in zip(flat_out, flat_ref):
+        # 2e-4: the fused path contracts the rel-pos bias in a different
+        # order (expander matmuls vs XLA's 8-d reshape/add), so long fp32
+        # reduction chains reassociate
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
