@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from procedurevrl_tpu.ops.common import drop_path, gelu_exact, layer_norm_fp32, trunc_normal_init
-from procedurevrl_tpu.ops.attention import mhsa, mhsa_cls
+from procedurevrl_tpu.ops.attention import mhsa, mhsa_cls, mhsa_temporal
 
 
 class LayerNormFp32(nn.Module):
@@ -92,14 +92,10 @@ class Attention(nn.Module):
             return mhsa_cls(x, cls_stream, qkv_w, qkv_b, proj_w, proj_b,
                             self.num_heads, use_pallas=self.use_pallas)
         if time_axis:
-            # x: [B, T, N, C], attention over T with batch (B, N).
-            # One explicit (T, N) transpose each way beats axis einsums:
-            # XLA materializes a relayout per einsum operand (q, k, v and
-            # the output — 4+ copies), the transpose is 2.
-            b, t, n, c = x.shape
-            xt = x.transpose(0, 2, 1, 3).reshape(b * n, t, c)
-            out = mhsa(xt, qkv_w, qkv_b, proj_w, proj_b, self.num_heads)
-            return out.reshape(b, n, t, c).transpose(0, 2, 1, 3)
+            # x: [B, T, N, C], attention over T with batch (B, N); the
+            # Pallas path reads the stream layout-native (ops/attention)
+            return mhsa_temporal(x, qkv_w, qkv_b, proj_w, proj_b,
+                                 self.num_heads, use_pallas=self.use_pallas)
         return mhsa(
             x,
             qkv_w,

@@ -150,6 +150,57 @@ def mhsa_cls(
     return out[:, 1:, :], out[:, :1, :]
 
 
+def mhsa_temporal(
+    x: jax.Array,
+    qkv_w: jax.Array,
+    qkv_b: jax.Array | None,
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    num_heads: int,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Self-attention over axis 1 of the time-major stream [B, T, N, C].
+
+    The Pallas path consumes the qkv projection output in its native layout
+    (no [B*N, T, C] transposes, no HBM logits); the default XLA path
+    transposes and runs ``mhsa_xla`` (two explicit relayouts, measured
+    cheaper than axis einsums).  The kernel is OPT-IN
+    (``TEMPORAL_PALLAS=1``): on v5e the full train step measured 52.2
+    clips/sec/chip with the kernel vs 53.3 with the XLA path — the T=8
+    per-(t,s) lane reduces don't beat XLA's fused relayouts yet.
+    """
+    import os
+
+    b, t, n, c = x.shape
+    head_dim = c // num_heads
+    if use_pallas and os.environ.get("TEMPORAL_PALLAS") == "1":
+        from procedurevrl_tpu.ops.pallas_attention import (
+            MAX_TEMPORAL_T, _temporal_hpb, flash_attention_temporal,
+        )
+
+        if t <= MAX_TEMPORAL_T and _temporal_hpb(
+            head_dim, num_heads, 7, t, n, x.dtype.itemsize
+        ) > 0:
+            qkv = jnp.einsum(
+                "bnc,cd->bnd", x.reshape(b, t * n, c), qkv_w.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            if qkv_b is not None:
+                qkv = qkv + qkv_b.astype(x.dtype)
+            out = flash_attention_temporal(
+                qkv.reshape(b, t, n, 3 * c), num_heads, head_dim ** -0.5
+            )
+            from jax.ad_checkpoint import checkpoint_name
+
+            out = checkpoint_name(out, "flash_attn_out")
+            return _out_project(out.reshape(b, t * n, c), proj_w, proj_b
+                                ).reshape(b, t, n, c)
+    # XLA fallback: one explicit (T, N) transpose each way
+    xt = x.transpose(0, 2, 1, 3).reshape(b * n, t, c)
+    out = mhsa_xla(xt, qkv_w, qkv_b, proj_w, proj_b, num_heads)
+    return out.reshape(b, n, t, c).transpose(0, 2, 1, 3)
+
+
 def mhsa(
     x: jax.Array,
     qkv_w: jax.Array,

@@ -394,6 +394,209 @@ def _fac_bwd(num_heads, scale, res, gs):
 flash_attention_cls.defvjp(_fac_fwd, _fac_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Temporal attention on the time-major stream, layout-native.
+#
+# The divided temporal pass attends over T (tiny, 8) for each of B*N patch
+# positions.  The XLA path pays two full-stream [B*N, T, C] relayouts plus
+# fp32 [B*N, H, T, T] logits traffic per block — v5e traces show the family
+# at ~28% of the train step for ~1 GFLOP of math.  This kernel reads the
+# qkv-projected stream in its native [B, T, N, 3C] layout (grid over
+# (batch, head-group) with whole-(T, N) blocks; q/k/v are the same array
+# bound three times with shifted lane-block index maps) and computes the
+# T x T attention as VPU broadcast-multiply-reduces — no transposes, no HBM
+# logits.
+# ---------------------------------------------------------------------------
+
+
+def _temporal_probs(q, k, scale: float):
+    """fp32 probs as a T x S grid of [N, 1] lane-reduced columns.
+
+    q, k: [T, N, d] with N in sublanes.  Every intermediate keeps N in
+    sublanes with a broadcast/1-lane minor dim — the [T, S, N] formulation
+    needs an N lanes<->sublanes relayout that Mosaic rejects, and the
+    batched-dot [N, T, S] variant (in-register transpose + batched MXU dot)
+    measured slower end-to-end (51.0 vs 52.2 clips/sec/chip).
+    """
+    T = q.shape[0]
+    logits = [
+        [
+            jnp.sum(q[t] * k[s], axis=-1, keepdims=True,
+                    dtype=jnp.float32) * scale  # [N, 1] fp32
+            for s in range(T)
+        ]
+        for t in range(T)
+    ]
+    probs = []
+    for t in range(T):
+        m = logits[t][0]
+        for s in range(1, T):
+            m = jnp.maximum(m, logits[t][s])
+        e = [jnp.exp(logits[t][s] - m) for s in range(T)]
+        denom = sum(e[1:], e[0])
+        probs.append([ei / denom for ei in e])
+    return probs  # probs[t][s]: [N, 1]
+
+
+def _temporal_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int,
+                         hpb: int):
+    T = q_ref.shape[1]
+    for i in range(hpb):
+        sl = slice(i * d, (i + 1) * d)
+        # inputs stay in their storage dtype (VMEM pressure); the lane
+        # reduces accumulate fp32, matching the MXU einsum semantics
+        q = q_ref[0, :, :, sl]  # [T, N, d]
+        k = k_ref[0, :, :, sl]
+        v = v_ref[0, :, :, sl]
+        p = _temporal_probs(q, k, scale)  # fp32 [N, 1] columns
+        for t in range(T):
+            o_t = p[t][0] * v[0]  # fp32 x storage -> fp32
+            for s in range(1, T):
+                o_t = o_t + p[t][s] * v[s]
+            o_ref[0, t, :, sl] = o_t.astype(o_ref.dtype)
+
+
+def _temporal_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                         *, scale: float, d: int, hpb: int):
+    T = q_ref.shape[1]
+    for i in range(hpb):
+        sl = slice(i * d, (i + 1) * d)
+        q = q_ref[0, :, :, sl]
+        k = k_ref[0, :, :, sl]
+        v = v_ref[0, :, :, sl]
+        g = g_ref[0, :, :, sl]
+        p = _temporal_probs(q, k, scale)  # p[t][s]: [N, 1] fp32
+        dp = [
+            [jnp.sum(g[t] * v[s], axis=-1, keepdims=True, dtype=jnp.float32)
+             for s in range(T)]
+            for t in range(T)
+        ]
+        ds = []
+        for t in range(T):
+            rowsum = sum(dp[t][s] * p[t][s] for s in range(T))
+            ds.append([p[t][s] * (dp[t][s] - rowsum) for s in range(T)])
+        for t in range(T):
+            dq_t = sum(ds[t][s] * k[s] for s in range(T))
+            dq_ref[0, t, :, sl] = (dq_t * scale).astype(dq_ref.dtype)
+        for s in range(T):
+            dk_s = sum(ds[t][s] * q[t] for t in range(T))
+            dv_s = sum(p[t][s] * g[t] for t in range(T))
+            dk_ref[0, s, :, sl] = (dk_s * scale).astype(dk_ref.dtype)
+            dv_ref[0, s, :, sl] = dv_s.astype(dv_ref.dtype)
+
+
+def _temporal_hpb(d: int, num_heads: int, nrefs: int = 4, T: int = 8,
+                  n: int = 196, itemsize: int = 2) -> int:
+    """Heads per grid step: widest 128-aligned lane block that divides H
+    and keeps ``nrefs`` double-buffered (1, T, n, d*hpb) blocks in VMEM."""
+    budget = 10 * 2 ** 20
+    for hpb in (8, 4, 2, 1):
+        if num_heads % hpb or (d * hpb) % 128:
+            continue
+        if nrefs * 2 * T * n * d * hpb * itemsize <= budget:
+            return hpb
+    return 0
+
+
+MAX_TEMPORAL_T = 16
+
+
+def _temporal_nt(n: int) -> int:
+    """N rows per grid step.  The unrolled T x T expression tree holds many
+    live [nt, w] fp32 temporaries; ~90 KB/row measured at w=128, so cap the
+    tile so the Mosaic stack stays well under the 16 MB VMEM limit."""
+    if n <= 128:
+        return n
+    return 128
+
+
+def _temporal_specs(T: int, n: int, nt: int, w: int, c: int):
+    wb = w  # lane-block width
+    q = pl.BlockSpec((1, T, nt, wb), lambda b, ni, g: (b, 0, ni, g),
+                     memory_space=pltpu.VMEM)
+    k = pl.BlockSpec((1, T, nt, wb),
+                     lambda b, ni, g, off=c // wb: (b, 0, ni, off + g),
+                     memory_space=pltpu.VMEM)
+    v = pl.BlockSpec((1, T, nt, wb),
+                     lambda b, ni, g, off=2 * (c // wb): (b, 0, ni, off + g),
+                     memory_space=pltpu.VMEM)
+    o = pl.BlockSpec((1, T, nt, wb), lambda b, ni, g: (b, 0, ni, g),
+                     memory_space=pltpu.VMEM)
+    return q, k, v, o
+
+
+def _temporal_fwd(qkv, num_heads: int, scale: float):
+    b, T, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = _temporal_hpb(d, num_heads, 4, T, n, qkv.dtype.itemsize)
+    assert hpb > 0, f"unsupported temporal geometry d={d} H={num_heads}"
+    w = d * hpb
+    nt = _temporal_nt(n)
+    qs, ks, vs, os = _temporal_specs(T, n, nt, w, c)
+    return pl.pallas_call(
+        functools.partial(_temporal_fwd_kernel, scale=scale, d=d, hpb=hpb),
+        grid=(b, (n + nt - 1) // nt, c // w),
+        in_specs=[qs, ks, vs],
+        out_specs=os,
+        out_shape=jax.ShapeDtypeStruct((b, T, n, c), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * T * T * n * c,
+            bytes_accessed=(3 + 1) * b * T * n * c * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * T * T * n,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv)
+
+
+def _temporal_bwd(qkv, g, num_heads: int, scale: float):
+    b, T, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = _temporal_hpb(d, num_heads, 7, T, n, qkv.dtype.itemsize)
+    w = d * hpb
+    nt = _temporal_nt(n)
+    qs, ks, vs, os = _temporal_specs(T, n, nt, w, c)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_temporal_bwd_kernel, scale=scale, d=d, hpb=hpb),
+        grid=(b, (n + nt - 1) // nt, c // w),
+        in_specs=[qs, ks, vs, os],
+        out_specs=[os, os, os],
+        out_shape=[jax.ShapeDtypeStruct((b, T, n, c), qkv.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * T * T * n * c,
+            bytes_accessed=7 * b * T * n * c * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * T * T * n,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, g)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def flash_attention_temporal(qkv, num_heads, scale):
+    """Temporal self-attention over axis 1 of the time-major stream.
+
+    qkv: [B, T, N, 3C] — the fused qkv projection output reshaped to the
+    native stream layout (thirds q|k|v, heads interleaved within each).
+    Attention runs over T independently per (B, N) position.  Returns
+    [B, T, N, C].
+    """
+    return _temporal_fwd(qkv, num_heads, scale)
+
+
+def _fat_fwd(qkv, num_heads, scale):
+    return _temporal_fwd(qkv, num_heads, scale), (qkv,)
+
+
+def _fat_bwd(num_heads, scale, res, g):
+    (qkv,) = res
+    return (_temporal_bwd(qkv, g, num_heads, scale),)
+
+
+flash_attention_temporal.defvjp(_fat_fwd, _fat_bwd)
+
+
 def flash_mhsa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """Head-split convenience wrapper: q, k, v [B, H, N, D]."""
     b, h, n, d = q.shape

@@ -116,6 +116,9 @@ def construct_optimizer(params, cfg, sched: Callable) -> optax.GradientTransform
         if g == "frozen":
             transforms[g] = optax.set_to_zero()
         else:
+            # NOT optax.flatten: the ravel/concat of all grads per step
+            # measured slower than the per-parameter update swarm it
+            # replaces (51.1 vs 53.3 clips/sec/chip on the v5e bench)
             transforms[g] = _core(cfg, wd_of[g], mult_of[g], sched)
 
     def label_fn(tree):

@@ -156,3 +156,74 @@ def test_mhsa_cls_pallas_matches_fallback():
     f1, c1 = mhsa_cls(x, cls_x, *args, use_pallas=True)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# temporal kernel (layout-native attention over T)
+# ---------------------------------------------------------------------------
+
+
+def _temporal_ref(qkv, h, scale):
+    b, t, n, c3 = qkv.shape
+    c = c3 // 3
+    q, k, v = jnp.split(qkv.reshape(b, t * n, c3), 3, axis=-1)
+    resh = lambda x: x.reshape(b, t, n, h, c // h).transpose(0, 2, 3, 1, 4)
+    q, k, v = resh(q), resh(k), resh(v)  # [b, n, h, t, d]
+    out = attention_core(
+        q.reshape(b * n, h, t, c // h), k.reshape(b * n, h, t, c // h),
+        v.reshape(b * n, h, t, c // h), scale,
+    )
+    return out.reshape(b, n, h, t, c // h).transpose(0, 3, 1, 2, 4).reshape(
+        b, t, n, c)
+
+
+@pytest.mark.parametrize("t,n,heads", [(8, 196, 12), (4, 196, 4), (8, 50, 2)])
+def test_flash_temporal_forward_matches_xla(t, n, heads):
+    from procedurevrl_tpu.ops.pallas_attention import flash_attention_temporal
+
+    rng = np.random.RandomState(7)
+    c = heads * 64
+    qkv = jnp.asarray(rng.randn(2, t, n, 3 * c) * 0.3, jnp.float32)
+    scale = 64 ** -0.5
+    ref = _temporal_ref(qkv, heads, scale)
+    out = flash_attention_temporal(qkv, heads, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_temporal_grad_matches_xla():
+    from procedurevrl_tpu.ops.pallas_attention import flash_attention_temporal
+
+    rng = np.random.RandomState(8)
+    t, n, heads = 4, 60, 2
+    c = heads * 64
+    qkv = jnp.asarray(rng.randn(1, t, n, 3 * c) * 0.3, jnp.float32)
+    scale = 64 ** -0.5
+
+    def loss_ref(qkv):
+        return jnp.sum(jnp.sin(_temporal_ref(qkv, heads, scale)))
+
+    def loss_out(qkv):
+        return jnp.sum(jnp.sin(flash_attention_temporal(qkv, heads, scale)))
+
+    g_ref = jax.grad(loss_ref)(qkv)
+    g_out = jax.grad(loss_out)(qkv)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_mhsa_temporal_pallas_matches_fallback(monkeypatch):
+    from procedurevrl_tpu.ops.attention import mhsa_temporal
+
+    monkeypatch.setenv("TEMPORAL_PALLAS", "1")  # kernel is opt-in
+    rng = np.random.RandomState(9)
+    b, t, n, c, heads = 2, 8, 60, 128, 2
+    x = jnp.asarray(rng.randn(b, t, n, c), jnp.float32)
+    qkv_w = jnp.asarray(rng.randn(c, 3 * c) * 0.05, jnp.float32)
+    qkv_b = jnp.asarray(rng.randn(3 * c) * 0.05, jnp.float32)
+    proj_w = jnp.asarray(rng.randn(c, c) * 0.05, jnp.float32)
+    proj_b = jnp.asarray(rng.randn(c) * 0.05, jnp.float32)
+    a = mhsa_temporal(x, qkv_w, qkv_b, proj_w, proj_b, heads, use_pallas=False)
+    b_ = mhsa_temporal(x, qkv_w, qkv_b, proj_w, proj_b, heads, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                               atol=2e-5, rtol=2e-5)
