@@ -297,6 +297,21 @@ def _build_defaults() -> CfgNode:
     _C.TENSORBOARD.CONFUSION_MATRIX.ENABLE = False
     _C.TENSORBOARD.CONFUSION_MATRIX.FIGSIZE = [8, 8]
     _C.TENSORBOARD.CONFUSION_MATRIX.SUBSET_PATH = ""
+    # Model visualization: weights / activations / Grad-CAM
+    # (reference defaults.py:906-945)
+    _C.TENSORBOARD.MODEL_VIS = CfgNode()
+    _C.TENSORBOARD.MODEL_VIS.ENABLE = False
+    _C.TENSORBOARD.MODEL_VIS.MODEL_WEIGHTS = False
+    _C.TENSORBOARD.MODEL_VIS.ACTIVATIONS = False
+    _C.TENSORBOARD.MODEL_VIS.INPUT_VIDEO = False
+    _C.TENSORBOARD.MODEL_VIS.LAYER_LIST = []
+    _C.TENSORBOARD.MODEL_VIS.TOPK_PREDS = 1
+    _C.TENSORBOARD.MODEL_VIS.COLORMAP = "Pastel2"
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM = CfgNode()
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.ENABLE = False
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.LAYER_LIST = []
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.USE_TRUE_LABEL = False
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.COLORMAP = "viridis"
     _C.TENSORBOARD.HISTOGRAM = CfgNode()
     _C.TENSORBOARD.HISTOGRAM.ENABLE = False
     _C.TENSORBOARD.HISTOGRAM.SUBSET_PATH = ""
