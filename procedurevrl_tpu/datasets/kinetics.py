@@ -60,12 +60,26 @@ class Kinetics(EpochRNG):
     def __len__(self):
         return len(self._path_to_videos)
 
-    def __getitem__(self, index: int):
+    def __getitem__(self, index):
+        short_cycle_idx = None
+        if isinstance(index, tuple):  # multigrid short cycle
+            index, short_cycle_idx = index
         rng = self.sample_rng(index, 999983, deterministic=self.mode == "test")
         if self.mode in ("train", "val"):
             temporal_idx, spatial_idx = -1, -1
             min_s, max_s = self.cfg.DATA.TRAIN_JITTER_SCALES
             crop = self.cfg.DATA.TRAIN_CROP_SIZE
+            if short_cycle_idx in (0, 1):
+                # reference kinetics.py:142-158: shrink the crop for the two
+                # short-cycle phases; scale shrinks proportionally
+                crop = int(round(
+                    self.cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
+                    * self.cfg.MULTIGRID.DEFAULT_S
+                ))
+            if self.cfg.MULTIGRID.DEFAULT_S > 0:
+                min_s = int(round(
+                    float(min_s) * crop / self.cfg.MULTIGRID.DEFAULT_S
+                ))
         else:
             temporal_idx = (
                 self._spatial_temporal_idx[index] // self.cfg.TEST.NUM_SPATIAL_CROPS

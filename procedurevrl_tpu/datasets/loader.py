@@ -74,8 +74,19 @@ class Loader:
         host_id: int = 0,
         seed: int = 0,
         repeated_aug: int = 0,
+        short_cycle_sizes=None,
     ):
+        """``short_cycle_sizes``: optional (b0, b1, b2) global batch sizes
+        for multigrid short-cycle training (reference
+        ``lib/datasets/multigrid_helper.py:11-79``): batches cycle through
+        the three sizes and each sample carries its cycle index so the
+        dataset can shrink the crop.  XLA compiles one program per cycle
+        shape (3 static shapes).  Requires drop_last."""
         assert global_batch_size % num_hosts == 0
+        if short_cycle_sizes is not None:
+            assert drop_last and len(short_cycle_sizes) == 3
+            assert all(s % num_hosts == 0 for s in short_cycle_sizes)
+        self.short_cycle_sizes = short_cycle_sizes
         self.dataset = dataset
         self.global_batch = global_batch_size
         self.local_batch = global_batch_size // num_hosts
@@ -98,6 +109,8 @@ class Loader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.short_cycle_sizes is not None:
+            return int(n // (sum(self.short_cycle_sizes) / 3.0))
         if self.drop_last:
             return n // self.global_batch
         return (n + self.global_batch - 1) // self.global_batch
@@ -122,24 +135,44 @@ class Loader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
 
+        # (global batch size, short-cycle idx or None) per batch
+        if self.short_cycle_sizes is not None:
+            plan, cursor, counter = [], 0, 0
+            while cursor + self.short_cycle_sizes[counter % 3] <= len(order):
+                size = self.short_cycle_sizes[counter % 3]
+                plan.append((cursor, size, counter % 3))
+                cursor += size
+                counter += 1
+            n_batches = len(plan)
+        else:
+            plan = [(b * self.global_batch, self.global_batch, None)
+                    for b in range(n_batches)]
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 pending = []
                 for b in range(n_batches):
                     if stop.is_set():
                         break
-                    gb = order[b * self.global_batch : (b + 1) * self.global_batch]
+                    start, size, cycle = plan[b]
+                    gb = order[start : start + size]
+                    local_size = size // self.num_hosts
                     # this host's contiguous shard of the global batch
                     local = gb[
-                        self.host_id * self.local_batch :
-                        (self.host_id + 1) * self.local_batch
+                        self.host_id * local_size :
+                        (self.host_id + 1) * local_size
                     ]
                     n_valid = len(local)
-                    if n_valid < self.local_batch:  # pad final partial batch
-                        pad = np.resize(local, self.local_batch - n_valid)
+                    if n_valid < local_size:  # pad final partial batch
+                        pad = np.resize(local, local_size - n_valid)
                         local = np.concatenate([local, pad])
-                    futs = [pool.submit(self.dataset.__getitem__, int(i))
-                            for i in local]
+                    futs = [
+                        pool.submit(
+                            self.dataset.__getitem__,
+                            int(i) if cycle is None else (int(i), cycle),
+                        )
+                        for i in local
+                    ]
                     pending.append((futs, n_valid))
                     # keep at most prefetch_depth batches in flight
                     while len(pending) > self.prefetch_depth or (
@@ -190,6 +223,17 @@ def construct_loader(cfg, split: str) -> Loader:
         shuffle, drop_last = False, False
 
     dataset = build_dataset(dataset_name, cfg, "val" if split == "val" else split)
+    short_cycle_sizes = None
+    if split == "train" and cfg.MULTIGRID.SHORT_CYCLE:
+        # reference multigrid_helper.py:41-58: bigger batches at the two
+        # smaller short-cycle crops
+        bs_factor = [
+            int(round((float(cfg.DATA.TRAIN_CROP_SIZE)
+                       / (s * cfg.MULTIGRID.DEFAULT_S)) ** 2))
+            for s in cfg.MULTIGRID.SHORT_CYCLE_FACTORS
+        ]
+        g = batch_size * jax.process_count()
+        short_cycle_sizes = [g * bs_factor[0], g * bs_factor[1], g]
     # cfg batch sizes are per host (the reference's per-node BATCH_SIZE);
     # the global per-step batch spans all hosts.
     return Loader(
@@ -203,6 +247,7 @@ def construct_loader(cfg, split: str) -> Loader:
         host_id=jax.process_index(),
         seed=cfg.RNG_SEED,
         repeated_aug=3 if (split == "train" and cfg.DATA.USE_REPEATED_AUG) else 0,
+        short_cycle_sizes=short_cycle_sizes,
     )
 
 

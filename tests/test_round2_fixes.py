@@ -215,3 +215,29 @@ def test_async_checkpoint_error_surfaces(tmp_path):
     with pytest.raises(Exception):
         ck.save(str(tmp_path / "job"), state, cfg, epoch=0)
         ck.wait()
+
+
+# ---------------------------------------------------------------------------
+# multigrid short-cycle loader (reference multigrid_helper.py:11-79)
+# ---------------------------------------------------------------------------
+
+
+def test_short_cycle_loader_batches():
+    cfg = _dummy_cfg()
+    cfg.TRAIN.DATASET = "kinetics"
+    cfg.MULTIGRID.SHORT_CYCLE = True
+    cfg.MULTIGRID.DEFAULT_S = cfg.DATA.TRAIN_CROP_SIZE
+    cfg.TRAIN.BATCH_SIZE = 2
+    loader = loader_mod.construct_loader(cfg, "train")
+    # factors (0.5, ~0.707) -> batch sizes (8, 4, 2)
+    assert loader.short_cycle_sizes == [8, 4, 2]
+    sizes, crops = [], []
+    for i, (batch, n_valid, _extra) in enumerate(loader):
+        sizes.append(batch["frames"].shape[0])
+        crops.append(batch["frames"].shape[2])
+        if i >= 5:
+            break
+    assert sizes[:3] == [8, 4, 2] and sizes[3:6] == [8, 4, 2]
+    full = cfg.DATA.TRAIN_CROP_SIZE
+    assert crops[2] == full and crops[0] < full and crops[1] < full
+    assert len(loader) == int(len(loader.dataset) // ((8 + 4 + 2) / 3.0))
