@@ -161,6 +161,56 @@ def _build_defaults() -> CfgNode:
     _C.TIMESFORMER.PRETRAINED_MODEL = ""
     _C.TIMESFORMER.DEPTH = 12
 
+    # ---- ResNet family (reference :286-317) ------------------------------------
+    _C.RESNET = CfgNode()
+    _C.RESNET.TRANS_FUNC = "bottleneck_transform"
+    _C.RESNET.NUM_GROUPS = 1
+    _C.RESNET.WIDTH_PER_GROUP = 64
+    _C.RESNET.INPLACE_RELU = True
+    _C.RESNET.STRIDE_1X1 = False
+    _C.RESNET.ZERO_INIT_FINAL_BN = False
+    _C.RESNET.DEPTH = 50
+    _C.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3], [4], [6], [3]]
+    _C.RESNET.SPATIAL_STRIDES = [[1], [2], [2], [2]]
+    _C.RESNET.SPATIAL_DILATIONS = [[1], [1], [1], [1]]
+
+    # ---- X3D (reference :323-348) -----------------------------------------------
+    _C.X3D = CfgNode()
+    _C.X3D.WIDTH_FACTOR = 1.0
+    _C.X3D.DEPTH_FACTOR = 1.0
+    _C.X3D.BOTTLENECK_FACTOR = 1.0
+    _C.X3D.DIM_C5 = 2048
+    _C.X3D.DIM_C1 = 12
+    _C.X3D.SCALE_RES2 = False
+    _C.X3D.BN_LIN5 = False
+    _C.X3D.CHANNELWISE_3x3x3 = True
+
+    # ---- Non-local (reference :353-374) ------------------------------------------
+    _C.NONLOCAL = CfgNode()
+    _C.NONLOCAL.LOCATION = [[[]], [[]], [[]], [[]]]
+    _C.NONLOCAL.GROUP = [[1], [1], [1], [1]]
+    _C.NONLOCAL.INSTANTIATION = "dot_product"
+    _C.NONLOCAL.POOL = [
+        [[1, 2, 2], [1, 2, 2]],
+        [[1, 2, 2], [1, 2, 2]],
+        [[1, 2, 2], [1, 2, 2]],
+        [[1, 2, 2], [1, 2, 2]],
+    ]
+
+    # ---- SlowFast (reference :445-460) -------------------------------------------
+    _C.SLOWFAST = CfgNode()
+    _C.SLOWFAST.BETA_INV = 8
+    _C.SLOWFAST.ALPHA = 8
+    _C.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
+    _C.SLOWFAST.FUSION_KERNEL_SZ = 5
+
+    # ---- Detection (reference :694-706) ------------------------------------------
+    _C.DETECTION = CfgNode()
+    _C.DETECTION.ENABLE = False
+    _C.DETECTION.ALIGNED = True
+    _C.DETECTION.SPATIAL_SCALE_FACTOR = 16
+    _C.DETECTION.ROI_XFORM_RESOLUTION = 7
+
     # ---- Mixup (reference :474-482) --------------------------------------------
     _C.MIXUP = CfgNode()
     _C.MIXUP.ENABLED = False

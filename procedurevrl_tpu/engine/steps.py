@@ -39,14 +39,27 @@ class TrainState:
     step: jax.Array
     params: Any
     opt_state: Any
+    # non-trainable model collections (BatchNorm running statistics for the
+    # ResNet/SlowFast/X3D family); None for the BN-free transformer models
+    model_state: Any = None
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+    def create(
+        cls, params, tx: optax.GradientTransformation, model_state: Any = None
+    ) -> "TrainState":
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
+            model_state=model_state,
         )
+
+    @property
+    def eval_variables(self) -> Dict[str, Any]:
+        """Variables dict for ``model.apply`` at eval time."""
+        if self.model_state is None:
+            return {"params": self.params}
+        return {"params": self.params, "batch_stats": self.model_state}
 
 
 def normalize_frames(frames: jax.Array, cfg) -> jax.Array:
@@ -104,7 +117,22 @@ def make_train_step(
         else None
     )
 
-    def loss_and_metrics(params, batch, rngs):
+    has_bn = bool(getattr(model, "has_batch_stats", False))
+
+    def apply_train(params, model_state, frames, rngs, **kw):
+        """model.apply in train mode, threading BatchNorm running stats
+        (the ResNet/SlowFast/X3D family) when the model has them."""
+        if not has_bn:
+            out = model.apply({"params": params}, frames, train=True,
+                              rngs=rngs, **kw)
+            return out, model_state
+        out, mut = model.apply(
+            {"params": params, "batch_stats": model_state}, frames,
+            train=True, rngs=rngs, mutable=["batch_stats"], **kw,
+        )
+        return out, mut["batch_stats"]
+
+    def loss_and_metrics(params, model_state, batch, rngs):
         frames = normalize_frames(batch["frames"], cfg)
         if is_pretrain:
             meta = {
@@ -115,9 +143,9 @@ def make_train_step(
                     -1, batch["clip_vis_feat"].shape[-1]
                 ),
             }
-            student, teacher, mse_pair = model.apply(
-                {"params": params}, frames, text=meta, label_emb=label_emb_dev,
-                train=True, rngs=rngs,
+            (student, teacher, mse_pair), new_ms = apply_train(
+                params, model_state, frames, rngs,
+                text=meta, label_emb=label_emb_dev,
             )
             loss, kl, mse = L.pretrain_loss(student, teacher, mse_pair, topk)
             preds = jax.nn.softmax(student.astype(jnp.float32), axis=1)
@@ -127,10 +155,10 @@ def make_train_step(
             # topks_correct clamps k to the class count; clamping to the
             # batch size here would silently log top-B for micro-batch < 5
             top1, top5 = metrics_lib.topk_errors(preds, labels, (1, 5))
-            return loss, {"loss": loss, "kl": kl, "mse": mse,
-                          "top1_err": top1, "top5_err": top5}
+            return loss, ({"loss": loss, "kl": kl, "mse": mse,
+                           "top1_err": top1, "top5_err": top5}, new_ms)
         if is_epic:
-            v, n = model.apply({"params": params}, frames, train=True, rngs=rngs)
+            (v, n), new_ms = apply_train(params, model_state, frames, rngs)
             loss_fn = L.get_loss_func(loss_name if loss_name != "kldiv" else "cross_entropy")
             loss, lv, ln = L.epic_loss(
                 v, n, batch["verb"], batch["noun"], loss_fn
@@ -140,37 +168,40 @@ def make_train_step(
             a1, a5 = metrics_lib.multitask_topk_accuracies(
                 (v, n), (batch["verb"], batch["noun"]), (1, 5)
             )
-            return loss, {"loss": loss, "verb_loss": lv, "noun_loss": ln,
-                          "verb_top1_acc": v1, "verb_top5_acc": v5,
-                          "noun_top1_acc": n1, "noun_top5_acc": n5,
-                          "top1_acc": a1, "top5_acc": a5}
+            return loss, ({"loss": loss, "verb_loss": lv, "noun_loss": ln,
+                           "verb_top1_acc": v1, "verb_top5_acc": v5,
+                           "noun_top1_acc": n1, "noun_top5_acc": n5,
+                           "top1_acc": a1, "top5_acc": a5}, new_ms)
         # plain finetuning (COIN step cls / forecast / task cls)
         labels = batch["labels"].reshape(-1)
         if mixup_fn is not None:
             frames, soft = mixup_fn(rngs["mixup"], frames, labels)
-            logits = model.apply({"params": params}, frames, train=True, rngs=rngs)
+            logits, new_ms = apply_train(params, model_state, frames, rngs)
             loss = L.soft_target_cross_entropy(logits, soft)
         else:
-            logits = model.apply({"params": params}, frames, train=True, rngs=rngs)
+            logits, new_ms = apply_train(params, model_state, frames, rngs)
             if loss_name == "smooth":
                 loss = L.label_smoothing_cross_entropy(logits, labels, 0.2)
             else:
                 loss = L.get_loss_func(loss_name)(logits, labels)
         top1, top5 = metrics_lib.topk_errors(logits, labels, (1, 5))
-        return loss, {"loss": loss, "top1_err": top1, "top5_err": top5}
+        return loss, ({"loss": loss, "top1_err": top1, "top5_err": top5}, new_ms)
 
     def train_step(state: TrainState, batch, rng: jax.Array):
         """Fused grad + update (the no-accumulation fast path)."""
         rngs = _model_rngs(rng, state.step)
         grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, batch, rngs)
+        (_, (metrics, new_ms)), grads = grad_fn(
+            state.params, state.model_state, batch, rngs
+        )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["lr"] = sched(state.step)
         metrics["grad_norm"] = optax.global_norm(grads)
         return (
-            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
+            TrainState(step=state.step + 1, params=new_params,
+                       opt_state=new_opt, model_state=new_ms),
             metrics,
         )
 
@@ -183,13 +214,14 @@ def make_train_step(
     # host loop streams micro-batches instead of staging [accum, B, ...] video
     # in HBM.
 
-    def grad_step(params, step, grads_acc, batch, rng: jax.Array):
+    def grad_step(params, step, grads_acc, batch, rng: jax.Array,
+                  model_state=None):
         rngs = _model_rngs(rng, step)
-        (_, metrics), grads = jax.value_and_grad(
+        (_, (metrics, new_ms)), grads = jax.value_and_grad(
             loss_and_metrics, has_aux=True
-        )(params, batch, rngs)
+        )(params, model_state, batch, rngs)
         grads = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-        return grads, metrics
+        return grads, metrics, new_ms
 
     def apply_step(state: TrainState, grads):
         inv = 1.0 / accum_steps
@@ -197,7 +229,8 @@ def make_train_step(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(
-            step=state.step + 1, params=new_params, opt_state=new_opt
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            model_state=state.model_state,
         )
 
     train_step.grad_step = grad_step
@@ -205,14 +238,34 @@ def make_train_step(
     return train_step
 
 
+def make_bn_stats_step(model, cfg) -> Callable:
+    """Train-mode forward that only updates BatchNorm running statistics
+    (weights frozen) — the compiled kernel behind precise-BN recomputation
+    (reference ``tools/train_net.py:357-380``, ``lib/utils/bn_helper.py``)."""
+
+    def stats_step(params, model_state, batch, rng: jax.Array):
+        frames = normalize_frames(batch["frames"], cfg)
+        rngs = _model_rngs(rng, jnp.zeros((), jnp.int32))
+        _, mut = model.apply(
+            {"params": params, "batch_stats": model_state}, frames,
+            train=True, rngs=rngs, mutable=["batch_stats"],
+        )
+        return mut["batch_stats"]
+
+    return stats_step
+
+
 def make_eval_step(model, cfg, label_emb: Optional[jnp.ndarray]) -> Callable:
     """Eval forward: returns post-softmax predictions
-    (reference ``lib/models/vit.py:355-357``)."""
+    (reference ``lib/models/vit.py:355-357``).
+
+    Takes the full variables dict (``TrainState.eval_variables``) so
+    BatchNorm models evaluate with their running statistics."""
     label_emb_dev = None if label_emb is None else jnp.asarray(label_emb)
 
-    def eval_step(params, batch):
+    def eval_step(variables, batch):
         return model.apply(
-            {"params": params}, normalize_frames(batch["frames"], cfg),
+            variables, normalize_frames(batch["frames"], cfg),
             label_emb=label_emb_dev, train=False,
         )
 

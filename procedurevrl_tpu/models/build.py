@@ -105,6 +105,27 @@ def _build_mvit(cfg):
     )
 
 
+def _build_resnet_family(cls_name):
+    def build(cfg):
+        from procedurevrl_tpu.models import resnet_video as rv
+
+        dtype = (
+            jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+        )
+        cls = {"SlowFast": rv.SlowFastModel, "ResNet": rv.ResNetModel,
+               "X3D": rv.X3DModel}[cls_name]
+        return cls(rc=rv.ResNetFamilyConfig.from_cfg(cfg), dtype=dtype)
+
+    return build
+
+
+# Dormant-in-reference backbones, carried for full capability parity
+# (reference ``lib/models/video_model_builder.py:152,424,623``).
+MODEL_REGISTRY["SlowFast"] = _build_resnet_family("SlowFast")
+MODEL_REGISTRY["ResNet"] = _build_resnet_family("ResNet")
+MODEL_REGISTRY["X3D"] = _build_resnet_family("X3D")
+
+
 def build_model(cfg) -> Tuple[object, Optional[np.ndarray]]:
     name = cfg.MODEL.MODEL_NAME
     if name not in MODEL_REGISTRY:

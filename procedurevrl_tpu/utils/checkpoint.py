@@ -78,6 +78,9 @@ def _write_payload(path: str, host_state, cfg, epoch: int) -> str:
         "step": int(host_state.step),
         "cfg": cfg.dump() if hasattr(cfg, "dump") else str(cfg),
     }
+    if getattr(host_state, "model_state", None) is not None:
+        # BatchNorm running statistics (ResNet/SlowFast/X3D family)
+        payload["batch_stats"] = serialization.to_bytes(host_state.model_state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -178,6 +181,12 @@ def load_checkpoint(path: str, state):
         opt_state=opt_state,
         step=jnp.asarray(payload.get("step", 0), jnp.int32),
     )
+    if payload.get("batch_stats") is not None and state.model_state is not None:
+        state = state.replace(
+            model_state=serialization.from_bytes(
+                jax.device_get(state.model_state), payload["batch_stats"]
+            )
+        )
     return state, payload["epoch"]
 
 

@@ -18,7 +18,7 @@ Prefix handling strips the reference's ``model.`` wrapper and DDP
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -326,3 +326,97 @@ def convert_imagenet_vit(state: Dict, num_frames: int = 8) -> dict:
                 "bias": np.zeros((d,), np.float32),
             }
     return params
+
+
+def convert_resnet_video(state: Dict) -> Tuple[dict, dict]:
+    """Torch state dict of the ResNet/SlowFast/X3D family -> (params,
+    batch_stats) flax trees (reference ``lib/models/video_model_builder.py``;
+    our module paths mirror the reference attribute names, so only the leaf
+    tensor layout converts):
+
+    - Conv3d ``weight`` [out, in/g, kt, kh, kw] -> ``kernel``
+      [kt, kh, kw, in/g, out];
+    - 1x1x1 convs written as Dense here (SE fc1/fc2, nonlocal conv_*, head
+      ``projection``) squeeze to [in, out];
+    - Linear ``weight`` [out, in] -> ``kernel`` [in, out];
+    - BN ``weight``/``bias`` -> ``scale``/``bias`` (params),
+      ``running_mean``/``running_var`` -> ``mean``/``var`` (batch_stats);
+      ``SubBatchNorm3d.split_bn`` running stats stay flat [S*C] here and
+      are reshaped to the per-split rows [S, C] against the template by
+      ``merge_into_template`` (its aggregate ``bn`` stats are derived on
+      the fly at eval and are dropped).
+
+    Caffe2 checkpoints convert first through
+    ``utils/c2_model_loading.convert_c2_state_dict``.
+    """
+    dense_markers = ("conv_theta", "conv_phi", "conv_g", "conv_out",
+                     "se.fc1", "se.fc2", "projection")
+    params: dict = {}
+    stats: dict = {}
+    for k, v in state.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        v = _np(v)
+        parts = k.split(".")
+        leaf = parts[-1]
+        if "split_bn" in parts:
+            # SubBatchNorm3d inner split stats: drop the '.split_bn' segment
+            if leaf in ("running_mean", "running_var"):
+                base = "/".join(p for p in parts[:-1] if p != "split_bn")
+                _set(stats, base + ("/mean" if leaf == "running_mean" else "/var"), v)
+            continue
+        if len(parts) >= 3 and parts[-2] == "bn" and parts[-3].endswith("bn"):
+            # SubBatchNorm3d aggregate ('xx_bn.bn.*') stats: redundant
+            continue
+        mod_path = "/".join(parts[:-1])
+        if leaf == "running_mean":
+            _set(stats, mod_path + "/mean", v)
+            continue
+        if leaf == "running_var":
+            _set(stats, mod_path + "/var", v)
+            continue
+        if leaf == "weight":
+            if v.ndim == 1:
+                # BN affine (incl. SubBatchNorm3d wrapper affine)
+                _set(params, mod_path + "/scale", v)
+            elif v.ndim == 5:
+                if any(m in k for m in dense_markers):
+                    _set(params, mod_path + "/kernel",
+                         v.reshape(v.shape[0], v.shape[1]).T)
+                else:
+                    _set(params, mod_path + "/kernel", v.transpose(2, 3, 4, 1, 0))
+            elif v.ndim == 2:
+                _set(params, mod_path + "/kernel", v.T)
+            else:
+                _set(params, mod_path + "/kernel", v)
+        elif leaf == "bias":
+            _set(params, mod_path + "/bias", v)
+        else:
+            _set(params, "/".join(parts), v)
+    return params, stats
+
+
+def merge_into_template(template, converted, reshape_ok=True):
+    """Shape-filtered merge of a converted tree into a template tree
+    (reference partial-load semantics, ``lib/utils/checkpoint.py:369-390``).
+    Same-size leaves reshape (SubBN flat [S*C] split stats -> [S, C]).
+    Returns (merged, missing, skipped)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat_t = flatten_dict(template, sep="/")
+    flat_c = flatten_dict(converted, sep="/")
+    merged, missing, skipped = {}, [], []
+    for k, tv in flat_t.items():
+        cv = flat_c.get(k)
+        tshape = tuple(np.shape(tv))
+        if cv is None:
+            missing.append(k)
+            merged[k] = tv
+        elif tuple(np.shape(cv)) == tshape:
+            merged[k] = np.asarray(cv, np.asarray(tv).dtype)
+        elif reshape_ok and np.size(cv) == np.size(tv):
+            merged[k] = np.asarray(cv, np.asarray(tv).dtype).reshape(tshape)
+        else:
+            skipped.append((k, np.shape(cv), tshape))
+            merged[k] = tv
+    return unflatten_dict(merged, sep="/"), missing, skipped

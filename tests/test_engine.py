@@ -101,7 +101,7 @@ def test_grad_accumulation_matches_big_batch():
     for half in (slice(0, 4), slice(4, 8)):
         mb = {"frames": jnp.asarray(frames[half]),
               "labels": jnp.asarray(labels[half])}
-        grads, _ = jax.jit(step2.grad_step)(
+        grads, _, _ = jax.jit(step2.grad_step)(
             state_b.params, state_b.step, grads, mb, key
         )
     state_b = jax.jit(step2.apply_step)(state_b, grads)
@@ -128,7 +128,7 @@ def test_zero_shot_eval_path_probabilities():
     )
     frames = np.random.RandomState(0).randn(8, 2, 32, 32, 3).astype(np.float32)
     probs = jax.device_get(
-        eval_step(jax.device_put(params, replicated(mesh)),
+        eval_step(jax.device_put({"params": params}, replicated(mesh)),
                   shard_batch(mesh, {"frames": frames}))
     )
     assert probs.shape == (8, 8)
@@ -152,7 +152,7 @@ def test_zero_shot_forecasting_path():
     # forecasting input: [B, M*T, H, W, C]
     frames = np.random.RandomState(0).randn(8, 8, 32, 32, 3).astype(np.float32)
     probs = jax.device_get(
-        eval_step(jax.device_put(params, replicated(mesh)),
+        eval_step(jax.device_put({"params": params}, replicated(mesh)),
                   shard_batch(mesh, {"frames": frames}))
     )
     assert probs.shape == (8, 8)

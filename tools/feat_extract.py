@@ -34,7 +34,7 @@ def perform_extract(test_loader, state, eval_step, cfg, mesh):
     all_preds, all_labels, all_idx = [], [], []
     for cur_iter, (batch, n_valid, _extra) in enumerate(test_loader):
         dev_batch = shard_batch(mesh, {"frames": batch["frames"]})
-        preds = jax.device_get(eval_step(state.params, dev_batch))
+        preds = jax.device_get(eval_step(state.eval_variables, dev_batch))
         if isinstance(preds, tuple):
             preds = np.concatenate([np.asarray(p) for p in preds], axis=1)
         all_preds.append(np.asarray(preds)[:n_valid])
@@ -54,11 +54,11 @@ def extract(cfg):
     logging_util.setup_logging(cfg.OUTPUT_DIR)
     mesh = build_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
     model, label_emb = build_model(cfg)
-    from tools.train_net import init_params
+    from tools.train_net import init_variables
 
-    params = init_params(cfg, model, label_emb)
+    params, model_state = init_variables(cfg, model, label_emb)
     tx = construct_optimizer(jax.tree_util.tree_map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params), cfg, lr_schedule(cfg, 1))
-    state = cu.load_test_checkpoint(cfg, TrainState.create(params, tx))
+    state = cu.load_test_checkpoint(cfg, TrainState.create(params, tx, model_state))
     state = jax.device_put(state, replicated(mesh))
     eval_step = jax.jit(
         make_eval_step(model, cfg, label_emb),

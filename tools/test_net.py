@@ -40,7 +40,7 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh):
     )
     for cur_iter, (dev_batch, n_valid, extra, batch) in enumerate(prefetched):
         preds = jax.device_get(
-            eval_step(state.params, {"frames": dev_batch["frames"]})
+            eval_step(state.eval_variables, {"frames": dev_batch["frames"]})
         )
         idx = batch["index"][:n_valid]
         if is_epic:
@@ -97,12 +97,12 @@ def test(cfg):
     mesh = build_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
     model, label_emb = build_model(cfg)
 
-    from tools.train_net import init_params
+    from tools.train_net import init_variables
 
-    params = init_params(cfg, model, label_emb)
+    params, model_state = init_variables(cfg, model, label_emb)
     sched = lr_schedule(cfg, 1)
     tx = construct_optimizer(jax.tree_util.tree_map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params), cfg, sched)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, model_state)
     state = cu.load_test_checkpoint(cfg, state)
     misc.log_model_info(state.params, cfg)
 

@@ -42,6 +42,13 @@ def _init_shapes(cfg):
 def init_params(cfg, model, label_emb):
     """Initialize params on device (traced through the training branch so
     every head/embedding exists)."""
+    return init_variables(cfg, model, label_emb)[0]
+
+
+def init_variables(cfg, model, label_emb):
+    """Initialize (params, model_state); ``model_state`` carries the
+    BatchNorm ``batch_stats`` collection for the ResNet/SlowFast/X3D family
+    and is None for the BN-free transformer models."""
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     x = jnp.zeros(_init_shapes(cfg), jnp.float32)
     kwargs = dict(train=False)
@@ -66,7 +73,7 @@ def init_params(cfg, model, label_emb):
     variables = jax.jit(
         lambda: model.init(rngs, x, **kwargs),
     )()
-    return variables["params"]
+    return variables["params"], variables.get("batch_stats")
 
 
 def build_trainer(cfg):
@@ -80,7 +87,7 @@ def build_trainer(cfg):
     accum = max(cfg.GLOBAL_BATCH_SIZE // max(cur_global, 1), 1)
     opt_steps_per_epoch = max(steps_per_epoch // accum, 1)
     sched = lr_schedule(cfg, opt_steps_per_epoch)
-    params = init_params(cfg, model, label_emb)
+    params, model_state = init_variables(cfg, model, label_emb)
     # external pretrained encoder init (ImageNet ViT / MViT IN1k / released
     # TimeSformer), the reference's build-time load_pretrained. Only pull
     # params to host when there is actually a checkpoint to merge.
@@ -93,7 +100,7 @@ def build_trainer(cfg):
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
     )
     tx = construct_optimizer(shapes, cfg, sched)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, model_state)
 
     train_step = make_train_step(model, tx, cfg, label_emb, sched, accum)
     eval_step = make_eval_step(model, cfg, label_emb)
@@ -139,8 +146,12 @@ def train_epoch(
             # distinct rng per micro-batch (grad_step folds in state.step,
             # which is constant within an accumulation group)
             micro_rng = jax.random.fold_in(rng, cur_iter % accum)
-            grads, metrics = grad_fn(state.params, state.step, grads,
-                                     dev_batch, micro_rng)
+            grads, metrics, new_ms = grad_fn(
+                state.params, state.step, grads, dev_batch, micro_rng,
+                state.model_state,
+            )
+            if new_ms is not None:
+                state = state.replace(model_state=new_ms)
             if (cur_iter + 1) % accum == 0:
                 state = apply_fn(state, grads)
                 grads = None
@@ -207,7 +218,7 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cfg, cur_epoch, mesh):
     for cur_iter, (dev_batch, n_valid, _extra, batch) in enumerate(prefetched):
         n_batches += 1
         preds = jax.device_get(
-            compiled(state.params, {"frames": dev_batch["frames"]})
+            compiled(state.eval_variables, {"frames": dev_batch["frames"]})
         )
         if isinstance(preds, tuple):  # EPIC
             v1, v5 = metrics_lib.topk_accuracies(
@@ -251,7 +262,7 @@ def train(cfg):
     else:
         compiled = None
         grad_fn = jax.jit(train_step.grad_step,
-                          in_shardings=(rep, rep, rep, data, rep),
+                          in_shardings=(rep, rep, rep, data, rep, rep),
                           donate_argnums=(2,))
         apply_fn = jax.jit(train_step.apply_step, donate_argnums=(0, 1))
         zeros_fn = jax.jit(
@@ -284,12 +295,39 @@ def train(cfg):
             train_loader, state, compiled, cfg, cur_epoch, mesh, train_meter,
             accum, rng, grad_apply, writer,
         )
-        if cu.is_checkpoint_epoch(cfg, cur_epoch):
+        is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch)
+        is_eval = val_loader is not None and misc.is_eval_epoch(cfg, cur_epoch)
+        if (
+            (is_checkp or is_eval)
+            and cfg.BN.USE_PRECISE_STATS
+            and state.model_state is not None
+        ):
+            # precise BN before checkpoint/eval (reference train_net.py:511-514)
+            from procedurevrl_tpu.engine.steps import make_bn_stats_step
+            from procedurevrl_tpu.utils.bn import compute_precise_bn_stats
+
+            stats_step = jax.jit(
+                make_bn_stats_step(model, cfg),
+                in_shardings=(rep, rep, data, rep),
+            )
+            batches = (
+                b for b, _n, _e, _h in loader_mod.prefetch_to_device(
+                    train_loader, mesh, size=cfg.TPU.PREFETCH_DEPTH
+                )
+            )
+            precise = compute_precise_bn_stats(
+                lambda ms, b: stats_step(state.params, ms, b, rng),
+                state.model_state,
+                batches,
+                min(cfg.BN.NUM_BATCHES_PRECISE, len(train_loader)),
+            )
+            state = state.replace(model_state=precise)
+        if is_checkp:
             if ckpt is not None:
                 ckpt.save(cfg.OUTPUT_DIR, state, cfg, cur_epoch)
             else:
                 cu.save_checkpoint(cfg.OUTPUT_DIR, state, cfg, cur_epoch)
-        if val_loader is not None and misc.is_eval_epoch(cfg, cur_epoch):
+        if is_eval:
             # eval failures abort: a broken eval path must not let training
             # keep running while looking healthy.
             eval_epoch(val_loader, state, eval_step, val_meter, cfg,
