@@ -824,6 +824,65 @@ class X3DHead(nn.Module):
         return x.reshape(x.shape[0], -1)
 
 
+class ResNetRoIHead(nn.Module):
+    """RoI-pooled detection head (AVA-style person-action detection).
+
+    The reference's detection branch calls ``head_helper.ResNetRoIHead``
+    (``video_model_builder.py:350,576``) but the fork never carries the
+    class — its DETECTION.ENABLE path crashes.  This implements the
+    upstream-PySlowFast capability the call intends: per pathway, average
+    over time, ROIAlign each box to ``resolution`` at the feature stride
+    (``1/scale_factor``, ``aligned`` half-pixel option), spatial max-pool,
+    concat pathways, dropout, FC, activation (sigmoid for AVA multi-label —
+    applied in train too, matching upstream's BCE-on-probabilities).
+    """
+
+    num_classes: int
+    pool_size: Tuple[Tuple[int, int, int], ...]
+    resolution: Tuple[Tuple[int, int], ...]
+    scale_factor: Tuple[int, ...]
+    dropout_rate: float = 0.0
+    act_func: str = "sigmoid"
+    aligned: bool = True
+    fc_init_std: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: list, bboxes: jax.Array, train: bool) -> jax.Array:
+        from procedurevrl_tpu.ops.roi_align import roi_align
+
+        assert len(inputs) == len(self.pool_size), (
+            f"Input tensor does not contain {len(self.pool_size)} pathway"
+        )
+        pooled = []
+        for p, x in enumerate(inputs):
+            # temporal average over the pathway's full extent
+            # (upstream uses AvgPool3d([T,1,1]))
+            x = jnp.mean(x, axis=1)  # [B, H, W, C]
+            r = roi_align(
+                x, bboxes, self.resolution[p][0],
+                spatial_scale=1.0 / self.scale_factor[p],
+                aligned=self.aligned,
+            )  # [N, res, res, C]
+            pooled.append(jnp.max(r, axis=(1, 2)))  # [N, C]
+        x = jnp.concatenate(pooled, axis=-1)
+        if self.dropout_rate > 0.0 and train:
+            x = nn.Dropout(self.dropout_rate, deterministic=False)(
+                x, rng=self.make_rng("dropout")
+            )
+        x = nn.Dense(self.num_classes, kernel_init=fc_init(self.fc_init_std),
+                     dtype=jnp.float32, name="projection")(x)
+        if self.act_func == "sigmoid":
+            x = jax.nn.sigmoid(x)
+        elif self.act_func == "softmax":
+            x = jax.nn.softmax(x, axis=-1)
+        else:
+            raise NotImplementedError(
+                f"{self.act_func} is not supported as an activation function."
+            )
+        return x
+
+
 # ---------------------------------------------------------------------------
 # Config plumbing
 # ---------------------------------------------------------------------------
@@ -883,6 +942,11 @@ class ResNetFamilyConfig:
     bn_num_groups: int = 1
     task: str = "Classification"
     reverse_input_channel: bool = False
+    # detection (reference DETECTION.* group)
+    detection_enable: bool = False
+    detection_aligned: bool = True
+    roi_xform_resolution: int = 7
+    spatial_scale_factor: int = 16
 
     @classmethod
     def from_cfg(cls, cfg) -> "ResNetFamilyConfig":
@@ -927,6 +991,10 @@ class ResNetFamilyConfig:
             bn_num_groups=max(1, world // max(1, cfg.BN.NUM_SYNC_DEVICES)),
             task=cfg.TASK,
             reverse_input_channel=cfg.DATA.REVERSE_INPUT_CHANNEL,
+            detection_enable=cfg.DETECTION.ENABLE,
+            detection_aligned=cfg.DETECTION.ALIGNED,
+            roi_xform_resolution=cfg.DETECTION.ROI_XFORM_RESOLUTION,
+            spatial_scale_factor=cfg.DETECTION.SPATIAL_SCALE_FACTOR,
         )
 
     def norm_builder(self):
@@ -974,7 +1042,8 @@ class SlowFastModel(nn.Module):
     match_lang_emb: bool = False
 
     @nn.compact
-    def __call__(self, x, label_emb=None, train: bool = False, text=None):
+    def __call__(self, x, label_emb=None, train: bool = False, text=None,
+                 bboxes=None):
         rc = self.rc
         assert rc.arch == "slowfast" and rc.depth in _MODEL_STAGE_DEPTH
         norm = rc.norm_builder()
@@ -1048,6 +1117,23 @@ class SlowFastModel(nn.Module):
             **_stage_args(rc, 3, norm, self.dtype),
         )(x, train)
 
+        if rc.detection_enable:
+            # RoI head (reference video_model_builder.py:349-371)
+            return ResNetRoIHead(
+                num_classes=rc.num_classes,
+                pool_size=(
+                    (rc.num_frames // rc.alpha // pool_size[0][0], 1, 1),
+                    (rc.num_frames // pool_size[1][0], 1, 1),
+                ),
+                resolution=((rc.roi_xform_resolution,) * 2,) * 2,
+                scale_factor=(rc.spatial_scale_factor,) * 2,
+                dropout_rate=rc.dropout_rate,
+                act_func=rc.head_act,
+                aligned=rc.detection_aligned,
+                fc_init_std=rc.fc_init_std,
+                dtype=self.dtype,
+                name="head",
+            )(x, bboxes, train)
         if rc.short_cycle:
             head_pool = (None, None)
         else:
@@ -1080,7 +1166,8 @@ class ResNetModel(nn.Module):
     match_lang_emb: bool = False
 
     @nn.compact
-    def __call__(self, x, label_emb=None, train: bool = False, text=None):
+    def __call__(self, x, label_emb=None, train: bool = False, text=None,
+                 bboxes=None):
         rc = self.rc
         assert rc.arch in _POOL1 and rc.depth in _MODEL_STAGE_DEPTH
         norm = rc.norm_builder()
@@ -1114,6 +1201,20 @@ class ResNetModel(nn.Module):
             if s == 0:
                 x = [max_pool3d(p, tuple(pool_size[i])) for i, p in enumerate(x)]
 
+        if rc.detection_enable:
+            # RoI head (reference video_model_builder.py:575-585)
+            return ResNetRoIHead(
+                num_classes=rc.num_classes,
+                pool_size=((rc.num_frames // pool_size[0][0], 1, 1),),
+                resolution=((rc.roi_xform_resolution,) * 2,),
+                scale_factor=(rc.spatial_scale_factor,),
+                dropout_rate=rc.dropout_rate,
+                act_func=rc.head_act,
+                aligned=rc.detection_aligned,
+                fc_init_std=rc.fc_init_std,
+                dtype=self.dtype,
+                name="head",
+            )(x, bboxes, train)
         head_pool = (
             (None,)
             if rc.short_cycle

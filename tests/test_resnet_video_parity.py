@@ -757,3 +757,65 @@ def test_backbone_train_step_end_to_end():
     old_mean = jax.tree_util.tree_leaves(state.model_state)[0]
     new_mean = jax.tree_util.tree_leaves(new_state.model_state)[0]
     assert not np.allclose(np.asarray(old_mean), np.asarray(new_mean))
+
+
+def test_roi_align_exact_on_grid():
+    """ROIAlign recovers exact feature values when the ROI aligns to the
+    pixel grid and each bin contains one pixel (aligned=True samples the
+    pixel centers)."""
+    from procedurevrl_tpu.ops.roi_align import roi_align
+
+    feats = jnp.asarray(
+        np.arange(2 * 4 * 4 * 1, dtype=np.float32).reshape(2, 4, 4, 1))
+    # ROI covering pixels (1..2)x(1..2) of image 1: box in pixel coords
+    # [x1,y1,x2,y2] = [1,1,3,3] -> 2x2 bins, centers at 1.5/2.5
+    boxes = jnp.asarray([[1.0, 1.0, 1.0, 3.0, 3.0]])
+    out = roi_align(feats, boxes, output_size=2, spatial_scale=1.0,
+                    sampling_ratio=1, aligned=True)
+    base = feats[1, :, :, 0]
+    expected = np.array([[base[1, 1], base[1, 2]], [base[2, 1], base[2, 2]]])
+    np.testing.assert_allclose(np.asarray(out[0, :, :, 0]), expected,
+                               atol=1e-6)
+
+
+def test_roi_align_bilinear_midpoint():
+    """A half-pixel-shifted 1x1 ROI averages the 4 neighbours."""
+    from procedurevrl_tpu.ops.roi_align import roi_align
+
+    feats = jnp.asarray(
+        np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    boxes = jnp.asarray([[0.0, 1.5, 1.5, 2.5, 2.5]])
+    out = roi_align(feats, boxes, output_size=1, spatial_scale=1.0,
+                    sampling_ratio=1, aligned=True)
+    # sample point at (y, x) = (1.5, 1.5): mean of f[1,1],f[1,2],f[2,1],f[2,2]
+    expected = np.mean([5.0, 6.0, 9.0, 10.0])
+    np.testing.assert_allclose(float(out[0, 0, 0, 0]), expected, atol=1e-6)
+
+
+def test_slowfast_detection_head_forward():
+    """DETECTION.ENABLE path: RoI head produces per-box probabilities
+    (the reference's own detection branch references a head class that
+    does not exist in its fork; this is the intended capability)."""
+    rc = ResNetFamilyConfig(
+        arch="slowfast", depth=50, width_per_group=8, num_frames=8,
+        crop_size=64, num_classes=6, alpha=4, beta_inv=8,
+        dropout_rate=0.0, head_act="sigmoid",
+        num_block_temp_kernel=((3, 3), (4, 4), (6, 6), (3, 3)),
+        spatial_strides=((1, 1), (2, 2), (2, 2), (2, 2)),
+        spatial_dilations=((1, 1), (1, 1), (1, 1), (1, 1)),
+        nonlocal_location=(((), ()),) * 4,
+        nonlocal_group=((1, 1),) * 4,
+        nonlocal_pool=(((1, 2, 2), (1, 2, 2)),) * 4,
+        detection_enable=True, spatial_scale_factor=16,
+        roi_xform_resolution=2,
+    )
+    model = SlowFastModel(rc=rc)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 64, 64, 3), jnp.float32)
+    bboxes = jnp.asarray([[0, 0, 0, 32, 32], [1, 16, 16, 63, 63],
+                          [0, 8, 8, 40, 56]], jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False,
+                   bboxes=bboxes)
+    out = model.apply(v, x, train=False, bboxes=bboxes)
+    assert out.shape == (3, 6)
+    assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
