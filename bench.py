@@ -94,8 +94,33 @@ def main():
     train_step = make_train_step(model, tx, cfg, label_emb, sched, 1)
 
     rep, data = replicated(mesh), batch_sharding(mesh)
-    step = jax.jit(train_step, in_shardings=(rep, data, rep),
-                   donate_argnums=(0,))
+    if _os.environ.get("BENCH_NO_OPT") == "1":
+        # ablation: loss + gradients, no optimizer update — isolates the
+        # optimizer's share of the step. grad_norm consumes the grads so
+        # the backward pass cannot be dead-code-eliminated.
+        import jax.numpy as jnp
+        import optax
+
+        from procedurevrl_tpu.engine.steps import TrainState as _TS
+
+        accum_step = make_train_step(model, tx, cfg, label_emb, sched, 2)
+
+        def _grad_only(state, batch, key):
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            grads, metrics, _ = accum_step.grad_step(
+                state.params, state.step, zeros, batch, key)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return (
+                _TS(step=state.step + 1, params=state.params,
+                    opt_state=state.opt_state, model_state=state.model_state),
+                metrics,
+            )
+
+        step = jax.jit(_grad_only, in_shardings=(rep, data, rep))
+    else:
+        step = jax.jit(train_step, in_shardings=(rep, data, rep),
+                       donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
     batch = shard_batch(mesh, {

@@ -25,6 +25,9 @@ def _build_defaults() -> CfgNode:
     _C.BN.WEIGHT_DECAY = 0.0
     _C.BN.NORM_TYPE = "batchnorm"
     _C.BN.NUM_SPLITS = 1
+    # TPU extension: normalize with running stats during training and never
+    # update them (the reference's misc.frozen_bn_stats as a config knob)
+    _C.BN.FROZEN = False
     _C.BN.NUM_SYNC_DEVICES = 1
 
     # ---- ProcedureVRL-specific knobs (reference :40-65) ---------------------

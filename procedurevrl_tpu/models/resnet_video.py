@@ -139,9 +139,14 @@ class VideoBatchNorm(nn.Module):
     eps: float = 1e-5
     splits: int = 1
     zero_init: bool = False
+    # frozen: normalize with running stats even in train mode and never
+    # update them — the reference's ``frozen_bn_stats``
+    # (``lib/utils/misc.py:243-251``) as a declarative knob (``BN.FROZEN``)
+    frozen: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        train = train and not self.frozen
         c = x.shape[-1]
         scale = self.param(
             "scale",
@@ -194,7 +199,8 @@ class VideoBatchNorm(nn.Module):
         return (x_hat * scale + bias).astype(x.dtype)
 
 
-def get_norm_builder(norm_type: str, num_splits: int, num_groups: int):
+def get_norm_builder(norm_type: str, num_splits: int, num_groups: int,
+                     frozen: bool = False):
     """Norm factory (reference ``batchnorm_helper.py:14-33``).
 
     ``batchnorm`` -> global-batch BN (= sync over all chips under pjit);
@@ -204,11 +210,11 @@ def get_norm_builder(norm_type: str, num_splits: int, num_groups: int):
     synchronization.
     """
     if norm_type == "batchnorm":
-        return partial(VideoBatchNorm, splits=1)
+        return partial(VideoBatchNorm, splits=1, frozen=frozen)
     if norm_type == "sub_batchnorm":
-        return partial(VideoBatchNorm, splits=num_splits)
+        return partial(VideoBatchNorm, splits=num_splits, frozen=frozen)
     if norm_type == "sync_batchnorm":
-        return partial(VideoBatchNorm, splits=max(1, num_groups))
+        return partial(VideoBatchNorm, splits=max(1, num_groups), frozen=frozen)
     raise NotImplementedError(f"Norm type {norm_type} is not supported")
 
 
@@ -940,6 +946,7 @@ class ResNetFamilyConfig:
     norm_type: str = "batchnorm"
     bn_num_splits: int = 1
     bn_num_groups: int = 1
+    bn_frozen: bool = False
     task: str = "Classification"
     reverse_input_channel: bool = False
     # detection (reference DETECTION.* group)
@@ -989,6 +996,7 @@ class ResNetFamilyConfig:
             norm_type=cfg.BN.NORM_TYPE,
             bn_num_splits=cfg.BN.NUM_SPLITS,
             bn_num_groups=max(1, world // max(1, cfg.BN.NUM_SYNC_DEVICES)),
+            bn_frozen=cfg.BN.FROZEN,
             task=cfg.TASK,
             reverse_input_channel=cfg.DATA.REVERSE_INPUT_CHANNEL,
             detection_enable=cfg.DETECTION.ENABLE,
@@ -999,7 +1007,8 @@ class ResNetFamilyConfig:
 
     def norm_builder(self):
         return get_norm_builder(
-            self.norm_type, self.bn_num_splits, self.bn_num_groups
+            self.norm_type, self.bn_num_splits, self.bn_num_groups,
+            self.bn_frozen,
         )
 
 

@@ -90,3 +90,33 @@ def _finalize(mean_acc, sq_acc):
             k: _finalize(mean_acc[k], sq_acc[k]) for k in mean_acc
         }
     return mean_acc
+
+
+def aggregate_sub_bn_stats(model_state):
+    """Collapse per-split BN statistics to aggregated single-set stats
+    (reference ``lib/utils/misc.py:254-269`` +
+    ``SubBatchNorm3d.aggregate_stats``, ``batchnorm_helper.py:83-95``).
+
+    Our :class:`VideoBatchNorm` derives the aggregate on the fly at eval,
+    so training never needs this; it exists for exporting a split-stat
+    checkpoint as plain-BN statistics.  Returns (new_model_state,
+    num_aggregated)."""
+    import numpy as np
+
+    count = 0
+
+    def walk(tree):
+        nonlocal count
+        if isinstance(tree, dict) and set(tree.keys()) == {"mean", "var"}:
+            mean, var = tree["mean"], tree["var"]
+            if hasattr(mean, "ndim") and mean.ndim == 2:
+                count += 1
+                agg_mean = mean.mean(axis=0)
+                agg_var = var.mean(axis=0) + ((mean - agg_mean) ** 2).mean(axis=0)
+                return {"mean": agg_mean, "var": agg_var}
+            return tree
+        if isinstance(tree, dict):
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    return walk(model_state), count

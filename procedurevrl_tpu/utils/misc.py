@@ -116,3 +116,36 @@ def get_class_names(path: str):
                 names[int(v)] = k
             return names
         return [l.strip() for l in f if l.strip()]
+
+
+def plot_input(tensor, bboxes=(), texts=(), path="./tmp_vis.png"):
+    """Plot input frames (with optional boxes/texts) to a PNG
+    (reference ``lib/utils/misc.py:213-240``). Accepts [T, H, W, C] in
+    [0, 1] or normalized floats (min-max rescaled)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    tensor = np.asarray(tensor, dtype=np.float32)
+    lo, hi = float(tensor.min()), float(tensor.max())
+    if lo < 0 or hi > 1:
+        tensor = (tensor - lo) / max(hi - lo, 1e-8)
+    f, ax = plt.subplots(nrows=1, ncols=tensor.shape[0], figsize=(50, 20))
+    if tensor.shape[0] == 1:
+        ax = [ax]
+    for i in range(tensor.shape[0]):
+        ax[i].axis("off")
+        ax[i].imshow(tensor[i])
+        if bboxes is not None and len(bboxes) > i:
+            for box in bboxes[i]:
+                x1, y1, x2, y2 = box
+                ax[i].vlines(x1, y1, y2, colors="g", linestyles="solid")
+                ax[i].vlines(x2, y1, y2, colors="g", linestyles="solid")
+                ax[i].hlines(y1, x1, x2, colors="g", linestyles="solid")
+                ax[i].hlines(y2, x1, x2, colors="g", linestyles="solid")
+        if texts is not None and len(texts) > i:
+            ax[i].text(0, 0, texts[i])
+    f.savefig(path)
+    plt.close(f)

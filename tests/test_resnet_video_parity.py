@@ -819,3 +819,36 @@ def test_slowfast_detection_head_forward():
     out = model.apply(v, x, train=False, bboxes=bboxes)
     assert out.shape == (3, 6)
     assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+
+def test_frozen_bn_uses_running_stats_in_train():
+    """BN.FROZEN: train-mode forward normalizes with running stats and does
+    not update them (reference misc.frozen_bn_stats, lib/utils/misc.py:243)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 2, 2, 2, 3).astype(np.float32)
+    bn = VideoBatchNorm(frozen=True)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), True)
+    stats = {"mean": jnp.asarray([0.5, -0.5, 0.0]),
+             "var": jnp.asarray([2.0, 1.0, 0.5])}
+    out, mut = bn.apply({"params": variables["params"], "batch_stats": stats},
+                        jnp.asarray(x), True, mutable=["batch_stats"])
+    expected = (x - np.array([0.5, -0.5, 0.0])) / np.sqrt(
+        np.array([2.0, 1.0, 0.5]) + 1e-5)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]),
+                               np.asarray(stats["mean"]))
+
+
+def test_aggregate_sub_bn_stats_export():
+    from procedurevrl_tpu.utils.bn import aggregate_sub_bn_stats
+
+    state = {"s1": {"bn": {"mean": np.array([[0.0, 2.0], [2.0, 4.0]]),
+                           "var": np.array([[1.0, 1.0], [1.0, 1.0]])}},
+             "s2": {"bn": {"mean": np.array([1.0, 1.0]),
+                           "var": np.array([2.0, 2.0])}}}
+    agg, n = aggregate_sub_bn_stats(state)
+    assert n == 1
+    np.testing.assert_allclose(agg["s1"]["bn"]["mean"], [1.0, 3.0])
+    # var = mean(vars) + between-split variance = 1 + 1
+    np.testing.assert_allclose(agg["s1"]["bn"]["var"], [2.0, 2.0])
+    np.testing.assert_allclose(agg["s2"]["bn"]["mean"], [1.0, 1.0])
