@@ -76,6 +76,8 @@ def main():
         cfg.TPU.REMAT = _os.environ["BENCH_REMAT"] == "1"
     if _os.environ.get("BENCH_PALLAS"):
         cfg.TPU.USE_PALLAS_ATTENTION = _os.environ["BENCH_PALLAS"] == "1"
+    if _os.environ.get("BENCH_SAVE_QKV"):
+        cfg.TPU.REMAT_SAVE_QKV = _os.environ["BENCH_SAVE_QKV"] == "1"
 
     # samples per step; each sample is ORDER_PRETRAIN_MAX_LEN = 9 clips
     B = int(_os.environ.get("BENCH_B", "1" if bench_model == "mvit" else "2"))

@@ -384,6 +384,8 @@ def _build_defaults() -> CfgNode:
     _C.TPU.USE_PALLAS_ATTENTION = True
     # Rematerialize encoder blocks to trade FLOPs for HBM.
     _C.TPU.REMAT = True
+    # keep qkv projections as remat residuals (more HBM, less recompute)
+    _C.TPU.REMAT_SAVE_QKV = False
     # Number of host-pipeline prefetch buffers.
     _C.TPU.PREFETCH_DEPTH = 2
     # Ship uint8 frames to the device and normalize there (4x less

@@ -69,6 +69,7 @@ def _common_kwargs(cfg) -> dict:
         dtype=dtype,
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION,
         remat=cfg.TPU.REMAT,
+        remat_save_qkv=cfg.TPU.REMAT_SAVE_QKV,
     )
 
 

@@ -77,6 +77,7 @@ class ProcedureVRL(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    remat_save_qkv: bool = False
 
     def setup(self):
         if self.encoder_name == "timesformer":
@@ -92,6 +93,7 @@ class ProcedureVRL(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 remat=self.remat,
+                remat_save_qkv=self.remat_save_qkv,
                 name="encoder",
             )
         elif self.encoder_name == "mvit":

@@ -177,6 +177,7 @@ class TimeSformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    remat_save_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -251,12 +252,13 @@ class TimeSformer(nn.Module):
         if self.remat:
             # rematerialize everything except the flash-attention outputs:
             # recomputing elementwise/GEMM fwd is cheap, re-running the
-            # attention kernels is not
+            # attention kernels is not. remat_save_qkv additionally keeps
+            # the qkv projections (the largest recomputed GEMMs) when HBM
+            # allows.
+            names = ("flash_attn_out", "qkv_out") if self.remat_save_qkv                 else ("flash_attn_out",)
             block_cls = nn.remat(
                 DividedSTBlock, static_argnums=(2, 3, 4), prevent_cse=False,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "flash_attn_out"
-                ),
+                policy=jax.checkpoint_policies.save_only_these_names(*names),
             )
         for i in range(self.depth):
             tokens = block_cls(

@@ -56,6 +56,11 @@ def _qkv_project(x, qkv_w, qkv_b):
                      preferred_element_type=jnp.float32).astype(x.dtype)
     if qkv_b is not None:
         qkv = qkv + qkv_b.astype(x.dtype)
+    # named so TPU.REMAT_SAVE_QKV can keep the projection as a residual
+    # (skips the biggest recomputed GEMM of the remat backward)
+    from jax.ad_checkpoint import checkpoint_name
+
+    qkv = checkpoint_name(qkv, "qkv_out")
     return jnp.split(qkv, 3, axis=-1)
 
 
