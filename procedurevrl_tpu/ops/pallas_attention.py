@@ -49,6 +49,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_rows(n: int) -> int:
+    """Token-axis block padding. Only the LAST block dim must be a
+    128-multiple (Mosaic); the token axis is second-minor, where the tile
+    granularity is 16 rows (bf16 packing) — padding 196 -> 208 instead of
+    256 cuts kernel FLOPs/VPU work ~19%."""
+    return _round_up(n, 16)
+
+
 def _interpret() -> bool:
     # CPU tests (8 virtual host devices) run the kernels interpreted.
     return jax.default_backend() != "tpu"
@@ -80,7 +88,15 @@ def _softmax_probs(q, k, scale: float, n_valid: int):
 
 def _heads_per_block(d: int, num_heads: int) -> int:
     """Mosaic requires the last block dim to be a multiple of 128 (or the
-    full array width): pack ceil(128/d) heads per grid step."""
+    full array width): pack ceil(128/d) heads per grid step.
+    PALLAS_HPB overrides (wider blocks = contiguous-row DMAs; pair with a
+    smaller PALLAS_GB to stay inside scoped VMEM)."""
+    import os
+
+    if os.environ.get("PALLAS_HPB"):
+        hpb = int(os.environ["PALLAS_HPB"])
+        if (d * hpb) % 128 == 0 and num_heads % hpb == 0:
+            return hpb
     hpb = 1
     while (d * hpb) % 128 != 0 and hpb < num_heads:
         hpb += 1
@@ -132,7 +148,7 @@ def _flash_fwd(q, k, v, num_heads: int, scale: float):
         f"unsupported geometry for fused attention: d={d}, H={num_heads}"
     )
     gb = _batch_group(b)
-    npad = _round_up(n, 128)
+    npad = _pad_rows(n)
     spec = _head_spec(npad, d * hpb, gb)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, n_valid=n, d=d, hpb=hpb,
@@ -161,24 +177,28 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
             p = _softmax_probs(q, k, scale, n_valid)  # [NP, NP] fp32
 
             # out-of-range query rows carry garbage cotangents: zero them
-            # so they contribute nothing to dk/dv
-            gf = _zero_tail_rows(g_ref[gi, :, sl].astype(jnp.float32), n_valid)
+            # so they contribute nothing to dk/dv. Matmul operands stay in
+            # the input dtype (bf16 in training — fp32-operand MXU matmuls
+            # run at a fraction of the bf16 rate); accumulation is fp32.
+            dt = q.dtype
+            gf = _zero_tail_rows(g_ref[gi, :, sl], n_valid)
             # dv = p^T @ g
             dv_ref[gi, :, sl] = jax.lax.dot_general(
-                p, gf, (((0,), (0,)), ((), ())),
+                p.astype(dt), gf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dv_ref.dtype)
             # dp = g @ v^T
             dp = jax.lax.dot_general(
-                gf, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                gf, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dq_ref[gi, :, sl] = (jnp.dot(ds, k.astype(jnp.float32),
+            ds_c = ds.astype(dt)
+            dq_ref[gi, :, sl] = (jnp.dot(ds_c, k,
                                          preferred_element_type=jnp.float32)
                                  * scale).astype(dq_ref.dtype)
             dk_ref[gi, :, sl] = (jax.lax.dot_general(
-                ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                ds_c, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale).astype(dk_ref.dtype)
 
@@ -188,7 +208,7 @@ def _flash_bwd(q, k, v, g, num_heads: int, scale: float):
     d = c // num_heads
     hpb = _heads_per_block(d, num_heads)
     gb = _batch_group(b)
-    npad = _round_up(n, 128)
+    npad = _pad_rows(n)
     spec = _head_spec(npad, d * hpb, gb)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, n_valid=n, d=d, hpb=hpb,
@@ -274,7 +294,7 @@ def _flash_cls_fwd(q, k, v, qc, kc, vc, num_heads: int, scale: float):
     hpb = _heads_per_block(d, num_heads)
     assert hpb > 0, f"unsupported geometry: d={d}, H={num_heads}"
     gb = _batch_group(b)
-    npad = _round_up(n + 1, 128)  # one padding row hosts the cls splice
+    npad = _pad_rows(n + 1)  # one padding row hosts the cls splice
     spec = _head_spec(npad, d * hpb, gb)
     cspec = _cls_spec(d * hpb, gb)
     return pl.pallas_call(
@@ -312,29 +332,31 @@ def _bwd_cls_kernel(q_ref, k_ref, v_ref, qc_ref, kc_ref, vc_ref, g_ref, gc_ref,
                 _set_row(v_ref[gi, :, sl], vc_ref[gi, :, sl], n_valid), nv1)
             p = _softmax_probs(q, k, scale, nv1)  # [NP, NP] fp32
 
+            # matmul operands in the input dtype, fp32 accumulation
+            # (see _bwd_kernel)
+            dt = q.dtype
             gf = _zero_tail_rows(
-                _set_row(g_ref[gi, :, sl], gc_ref[gi, :, sl], n_valid)
-                .astype(jnp.float32),
-                nv1,
+                _set_row(g_ref[gi, :, sl], gc_ref[gi, :, sl], n_valid), nv1,
             )
             dv = jax.lax.dot_general(
-                p, gf, (((0,), (0,)), ((), ())),
+                p.astype(dt), gf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dv_ref[gi, :, sl] = dv.astype(dv_ref.dtype)
             dvc_ref[gi, :, sl] = dv[n_valid:nv1].astype(dvc_ref.dtype)
 
             dp = jax.lax.dot_general(
-                gf, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                gf, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dq = jnp.dot(ds, k.astype(jnp.float32),
+            ds_c = ds.astype(dt)
+            dq = jnp.dot(ds_c, k,
                          preferred_element_type=jnp.float32) * scale
             dq_ref[gi, :, sl] = dq.astype(dq_ref.dtype)
             dqc_ref[gi, :, sl] = dq[n_valid:nv1].astype(dqc_ref.dtype)
             dk = jax.lax.dot_general(
-                ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                ds_c, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
             dk_ref[gi, :, sl] = dk.astype(dk_ref.dtype)
@@ -346,7 +368,7 @@ def _flash_cls_bwd(q, k, v, qc, kc, vc, g, gc, num_heads: int, scale: float):
     d = c // num_heads
     hpb = _heads_per_block(d, num_heads)
     gb = _batch_group(b)
-    npad = _round_up(n + 1, 128)  # one padding row hosts the cls splice
+    npad = _pad_rows(n + 1)  # one padding row hosts the cls splice
     spec = _head_spec(npad, d * hpb, gb)
     cspec = _cls_spec(d * hpb, gb)
     return pl.pallas_call(
