@@ -3,9 +3,10 @@
 Mirrors the key surface of the reference config system (reference
 ``lib/config/defaults.py:8-1077``) so the shipped experiment YAMLs under
 ``configs/**`` load unchanged, while adding a TPU group for mesh/precision
-options that have no CUDA analogue.  Only groups that are live in the
-ProcedureVRL configs are carried; dormant detector/AVA/demo groups are
-dropped (they were dead weight in the reference — see SURVEY.md §2.6).
+options that have no CUDA analogue.  Every reference key is carried
+(283/283, verified in tests/test_config_parity.py) so any user YAML
+written against the reference loads unchanged — including the AVA /
+DETECTION / DEMO / ACT_LOCALIZATION groups.
 """
 
 from __future__ import annotations
@@ -214,6 +215,67 @@ def _build_defaults() -> CfgNode:
     _C.DETECTION.SPATIAL_SCALE_FACTOR = 16
     _C.DETECTION.ROI_XFORM_RESOLUTION = 7
 
+    # ---- Action localization (reference :466-471) ---------------------------------
+    _C.ACT_LOCALIZATION = CfgNode()
+    _C.ACT_LOCALIZATION.ENABLED = False
+    _C.ACT_LOCALIZATION.BETA = 1.0
+
+    # ---- AVA dataset / eval (reference :741-812); consumed by utils/ava_eval ------
+    _C.AVA = CfgNode()
+    _C.AVA.FRAME_DIR = ""
+    _C.AVA.FRAME_LIST_DIR = ""
+    _C.AVA.ANNOTATION_DIR = ""
+    _C.AVA.TRAIN_LISTS = ["train.csv"]
+    _C.AVA.TEST_LISTS = ["val.csv"]
+    _C.AVA.TRAIN_GT_BOX_LISTS = ["ava_train_v2.2.csv"]
+    _C.AVA.TRAIN_PREDICT_BOX_LISTS = []
+    _C.AVA.TEST_PREDICT_BOX_LISTS = ["ava_val_predicted_boxes.csv"]
+    _C.AVA.DETECTION_SCORE_THRESH = 0.9
+    _C.AVA.BGR = False
+    _C.AVA.TRAIN_USE_COLOR_AUGMENTATION = False
+    _C.AVA.TRAIN_PCA_JITTER_ONLY = True
+    _C.AVA.TRAIN_PCA_EIGVAL = [0.225, 0.224, 0.229]
+    _C.AVA.TRAIN_PCA_EIGVEC = [
+        [-0.5675, 0.7192, 0.4009],
+        [-0.5808, -0.0045, -0.8140],
+        [-0.5836, -0.6948, 0.4203],
+    ]
+    _C.AVA.TEST_FORCE_FLIP = False
+    _C.AVA.FULL_TEST_ON_VAL = False
+    _C.AVA.LABEL_MAP_FILE = "ava_action_list_v2.2_for_activitynet_2019.pbtxt"
+    _C.AVA.EXCLUSION_FILE = "ava_val_excluded_timestamps_v2.2.csv"
+    _C.AVA.GROUNDTRUTH_FILE = "ava_val_v2.2.csv"
+    _C.AVA.IMG_PROC_BACKEND = "cv2"
+
+    # ---- Demo (reference :960-1044); key-surface parity for YAML loading ----------
+    _C.DEMO = CfgNode()
+    _C.DEMO.ENABLE = False
+    _C.DEMO.LABEL_FILE_PATH = ""
+    _C.DEMO.WEBCAM = -1
+    _C.DEMO.INPUT_VIDEO = ""
+    _C.DEMO.DISPLAY_WIDTH = 0
+    _C.DEMO.DISPLAY_HEIGHT = 0
+    _C.DEMO.DETECTRON2_CFG = "COCO-Detection/faster_rcnn_R_50_FPN_3x.yaml"
+    _C.DEMO.DETECTRON2_WEIGHTS = ""
+    _C.DEMO.DETECTRON2_THRESH = 0.9
+    _C.DEMO.BUFFER_SIZE = 0
+    _C.DEMO.OUTPUT_FILE = ""
+    _C.DEMO.OUTPUT_FPS = -1
+    _C.DEMO.INPUT_FORMAT = "BGR"
+    _C.DEMO.CLIP_VIS_SIZE = 10
+    _C.DEMO.NUM_VIS_INSTANCES = 2
+    _C.DEMO.PREDS_BOXES = ""
+    _C.DEMO.THREAD_ENABLE = False
+    _C.DEMO.NUM_CLIPS_SKIP = 0
+    _C.DEMO.GT_BOXES = ""
+    _C.DEMO.STARTING_SECOND = 900
+    _C.DEMO.FPS = 30
+    _C.DEMO.VIS_MODE = "thres"
+    _C.DEMO.COMMON_CLASS_THRES = 0.7
+    _C.DEMO.UNCOMMON_CLASS_THRES = 0.3
+    _C.DEMO.COMMON_CLASS_NAMES = []
+    _C.DEMO.SLOWMO = 1
+
     # ---- Mixup (reference :474-482) --------------------------------------------
     _C.MIXUP = CfgNode()
     _C.MIXUP.ENABLED = False
@@ -367,6 +429,10 @@ def _build_defaults() -> CfgNode:
     _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.COLORMAP = "viridis"
     _C.TENSORBOARD.HISTOGRAM = CfgNode()
     _C.TENSORBOARD.HISTOGRAM.ENABLE = False
+    _C.TENSORBOARD.WRONG_PRED_VIS = CfgNode()
+    _C.TENSORBOARD.WRONG_PRED_VIS.ENABLE = False
+    _C.TENSORBOARD.WRONG_PRED_VIS.TAG = "Incorrectly classified videos."
+    _C.TENSORBOARD.WRONG_PRED_VIS.SUBSET_PATH = ""
     _C.TENSORBOARD.HISTOGRAM.SUBSET_PATH = ""
     _C.TENSORBOARD.HISTOGRAM.TOPK = 10
     _C.TENSORBOARD.HISTOGRAM.FIGSIZE = [8, 8]
