@@ -35,15 +35,20 @@ def capture(trace_dir: str, n_steps: int = 4) -> None:
     from procedurevrl_tpu.solver import construct_optimizer, lr_schedule
     from tools.train_net import init_params
 
+    bench_model = os.environ.get("BENCH_MODEL", "timesformer")
     cfg = get_cfg()
-    cfg.merge_from_file("configs/HowTo100M/procedurevrl_adamw.yaml")
+    cfg.merge_from_file(
+        "configs/HowTo100M/procedurevrl_mvitv2_adamw.yaml"
+        if bench_model == "mvit"
+        else "configs/HowTo100M/procedurevrl_adamw.yaml"
+    )
     cfg.DEV.LOAD_DUMMY_DATA = True
     cfg.OUTPUT_DIR = "/tmp/bench_out"
     if os.environ.get("BENCH_REMAT"):
         cfg.TPU.REMAT = os.environ["BENCH_REMAT"] == "1"
     if os.environ.get("BENCH_PALLAS"):
         cfg.TPU.USE_PALLAS_ATTENTION = os.environ["BENCH_PALLAS"] == "1"
-    B = int(os.environ.get("BENCH_B", "2"))
+    B = int(os.environ.get("BENCH_B", "1" if bench_model == "mvit" else "2"))
     M = cfg.DEV.ORDER_PRETRAIN_MAX_LEN
     T, S = cfg.DATA.NUM_FRAMES, cfg.DATA.TRAIN_CROP_SIZE
 
@@ -95,17 +100,19 @@ def summarize(trace_dir: str, top: int = 35) -> None:
         if not plane.name.startswith("/device:TPU"):
             continue
         ev_meta = plane.event_metadata
-        stat_meta = plane.stat_metadata
         by_name = defaultdict(float)
         total = 0.0
         for line in plane.lines:
-            if "XLA Ops" not in line.name and "Steps" in line.name:
-                continue
             if "XLA Ops" not in line.name:
                 continue
             for ev in line.events:
-                dur = ev.duration_ps / 1e6  # us
                 name = ev_meta[ev.metadata_id].name
+                head = name.split(" = ")[0]
+                # async DMA events ("-start"/"-done") overlap the sync
+                # schedule; summing their self-times would overcount ~8x
+                if "-start" in head or "-done" in head:
+                    continue
+                dur = ev.duration_ps / 1e6  # us
                 by_name[name] += dur
                 total += dur
         if not by_name:

@@ -288,6 +288,15 @@ def train(cfg):
         writer = TensorboardWriter(cfg)
 
     ckpt = cu.AsyncCheckpointer() if cfg.TPU.ASYNC_CHECKPOINT else None
+    stats_step = None
+    if cfg.BN.USE_PRECISE_STATS and state.model_state is not None:
+        # compiled once; reused before every checkpoint/eval epoch
+        from procedurevrl_tpu.engine.steps import make_bn_stats_step
+
+        stats_step = jax.jit(
+            make_bn_stats_step(model, cfg),
+            in_shardings=(rep, rep, data, rep),
+        )
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         loader_mod.shuffle_dataset(train_loader, cur_epoch)
@@ -297,19 +306,10 @@ def train(cfg):
         )
         is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch)
         is_eval = val_loader is not None and misc.is_eval_epoch(cfg, cur_epoch)
-        if (
-            (is_checkp or is_eval)
-            and cfg.BN.USE_PRECISE_STATS
-            and state.model_state is not None
-        ):
+        if (is_checkp or is_eval) and stats_step is not None:
             # precise BN before checkpoint/eval (reference train_net.py:511-514)
-            from procedurevrl_tpu.engine.steps import make_bn_stats_step
             from procedurevrl_tpu.utils.bn import compute_precise_bn_stats
 
-            stats_step = jax.jit(
-                make_bn_stats_step(model, cfg),
-                in_shardings=(rep, rep, data, rep),
-            )
             batches = (
                 b for b, _n, _e, _h in loader_mod.prefetch_to_device(
                     train_loader, mesh, size=cfg.TPU.PREFETCH_DEPTH
