@@ -48,8 +48,11 @@ def _tile_q(kp: int) -> int:
             return tq
     return 32
 
-# worthwhile only when the full logits are big and the key set fits VMEM
-MIN_FUSED_QN = 1024
+# worthwhile whenever the key set fits VMEM: profiling showed the XLA
+# fallback's full-logits rel-pos path materializing [B, H, qN, kN] fp32
+# plus 8-D broadcast/reduce temporaries (~40 ms/step at q=392, k=1568 —
+# the stage-transition blocks), far worse than small-q kernel launches
+MIN_FUSED_QN = 64
 MAX_FUSED_KN = 2048
 
 
