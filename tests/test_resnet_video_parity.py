@@ -852,3 +852,35 @@ def test_aggregate_sub_bn_stats_export():
     # var = mean(vars) + between-split variance = 1 + 1
     np.testing.assert_allclose(agg["s1"]["bn"]["var"], [2.0, 2.0])
     np.testing.assert_allclose(agg["s2"]["bn"]["mean"], [1.0, 1.0])
+
+
+def test_bn_stats_sharded_equals_single_device():
+    """SyncBN-for-free under pjit: BatchNorm statistics computed with the
+    batch sharded over all 8 devices equal the unsharded computation (the
+    cross-chip reduction is the all-reduce XLA inserts; reference
+    NaiveSyncBatchNorm3d, batchnorm_helper.py:173-217)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from procedurevrl_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh()
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 2, 4, 4, 3).astype(np.float32)
+    bn = VideoBatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), True)
+
+    def run(xs):
+        out, mut = bn.apply(variables, xs, True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    sharded = jax.jit(run, in_shardings=NamedSharding(mesh, P("data")))
+    with mesh:
+        out_s, stats_s = sharded(jnp.asarray(x))
+    out_1, stats_1 = jax.jit(run)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats_s["mean"]),
+                               np.asarray(stats_1["mean"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats_s["var"]),
+                               np.asarray(stats_1["var"]), atol=1e-6)
