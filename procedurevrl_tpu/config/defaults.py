@@ -450,6 +450,9 @@ def _build_defaults() -> CfgNode:
     _C.TPU.USE_PALLAS_ATTENTION = True
     # Rematerialize encoder blocks to trade FLOPs for HBM.
     _C.TPU.REMAT = True
+    # ZeRO-1: shard optimizer moments over the data axis (TPU extension;
+    # cuts per-chip optimizer memory ~(N-1)/N at N-chip data parallel)
+    _C.TPU.SHARD_OPT_STATE = False
     # keep qkv projections as remat residuals (more HBM, less recompute)
     _C.TPU.REMAT_SAVE_QKV = False
     # Number of host-pipeline prefetch buffers.

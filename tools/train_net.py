@@ -253,10 +253,19 @@ def train(cfg):
 
     rep, data = replicated(mesh), batch_sharding(mesh)
     rng = jax.device_put(jax.random.PRNGKey(cfg.RNG_SEED), rep)
-    state = jax.device_put(state, rep)
+    state_sharding = rep
+    if cfg.TPU.SHARD_OPT_STATE and accum == 1:
+        # ZeRO-1: AdamW moments partitioned over the data axis
+        # (parallel/mesh.py:zero1_state_shardings)
+        from procedurevrl_tpu.parallel.mesh import zero1_state_shardings
+
+        state_sharding = zero1_state_shardings(state, mesh)
+    state = jax.device_put(state, state_sharding)
 
     if accum == 1:
-        compiled = jax.jit(train_step, in_shardings=(rep, data, rep),
+        compiled = jax.jit(train_step,
+                           in_shardings=(state_sharding, data, rep),
+                           out_shardings=(state_sharding, rep),
                            donate_argnums=(0,))
         grad_apply = None
     else:
