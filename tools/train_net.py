@@ -254,7 +254,17 @@ def train(cfg):
     rep, data = replicated(mesh), batch_sharding(mesh)
     rng = jax.device_put(jax.random.PRNGKey(cfg.RNG_SEED), rep)
     state_sharding = rep
-    if cfg.TPU.SHARD_OPT_STATE and accum == 1:
+    if cfg.TPU.MESH_MODEL > 1 and accum == 1:
+        # Megatron-style tensor parallelism over the `model` axis
+        # (parallel/mesh.py:tp_state_shardings); run the XLA attention
+        # path — the Pallas kernels are not partition-aware
+        from procedurevrl_tpu.parallel.mesh import tp_state_shardings
+
+        assert not cfg.TPU.USE_PALLAS_ATTENTION, (
+            "TPU.MESH_MODEL > 1 requires TPU.USE_PALLAS_ATTENTION False"
+        )
+        state_sharding = tp_state_shardings(state, mesh)
+    elif cfg.TPU.SHARD_OPT_STATE and accum == 1:
         # ZeRO-1: AdamW moments partitioned over the data axis
         # (parallel/mesh.py:zero1_state_shardings)
         from procedurevrl_tpu.parallel.mesh import zero1_state_shardings
