@@ -124,16 +124,20 @@ def _head_spec(npad: int, width: int, gb: int):
                         memory_space=pltpu.VMEM)
 
 
-def _batch_group(b: int) -> int:
+def _batch_group(b: int, nbufs: int = 7) -> int:
     """Rows per grid step: amortize per-step DMA/launch overhead (a
     1-row grid at N=197 measured ~25x slower than the matmul bound).
-    Bounded by scoped VMEM: the backward stages 7 double-buffered
-    (gb, 256, 128) blocks, so gb=24 exceeds the 16 MB budget; 12 fits."""
+    Bounded by scoped VMEM: with ``nbufs`` double-buffered
+    (gb, 208, 128) blocks staged, gb*nbufs*208*128*2B*2 must fit the
+    16 MB budget — the 7-buffer backward caps at 12, the 4-buffer
+    forward can take 24."""
     import os
 
-    prefs = (12, 8, 6, 4, 2, 1)
+    # empirical: the 7-buffer backward fits gb=12 under the scoped-VMEM
+    # budget (24 fails); the 4-buffer forward has room for 24
+    prefs = [24, 16, 12, 8, 6, 4, 2, 1] if nbufs <= 4 else [12, 8, 6, 4, 2, 1]
     if os.environ.get("PALLAS_GB"):
-        prefs = (int(os.environ["PALLAS_GB"]),) + prefs
+        prefs = [int(os.environ["PALLAS_GB"])] + prefs
     for gb in prefs:
         if b % gb == 0:
             return gb
@@ -147,7 +151,7 @@ def _flash_fwd(q, k, v, num_heads: int, scale: float):
     assert hpb > 0, (
         f"unsupported geometry for fused attention: d={d}, H={num_heads}"
     )
-    gb = _batch_group(b)
+    gb = _batch_group(b, nbufs=4)
     npad = _pad_rows(n)
     spec = _head_spec(npad, d * hpb, gb)
     return pl.pallas_call(
@@ -293,7 +297,7 @@ def _flash_cls_fwd(q, k, v, qc, kc, vc, num_heads: int, scale: float):
     d = c // num_heads
     hpb = _heads_per_block(d, num_heads)
     assert hpb > 0, f"unsupported geometry: d={d}, H={num_heads}"
-    gb = _batch_group(b)
+    gb = _batch_group(b, nbufs=4)
     npad = _pad_rows(n + 1)  # one padding row hosts the cls splice
     spec = _head_spec(npad, d * hpb, gb)
     cspec = _cls_spec(d * hpb, gb)
