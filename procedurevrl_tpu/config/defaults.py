@@ -479,6 +479,17 @@ _DEFAULTS = _build_defaults()
 
 
 def _assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
+    if cfg.DETECTION.ENABLE:
+        # the RoI head (models/resnet_video.py:ResNetRoIHead) and AVA
+        # evaluation (utils/ava_eval.py) exist, but no shipped dataset
+        # produces boxes (the reference ships none either, and its own
+        # detection branch references a head class it never defines) —
+        # fail fast instead of crashing on bboxes=None deep in tracing
+        raise NotImplementedError(
+            "DETECTION.ENABLE: no detection dataset ships with this "
+            "framework; drive ResNetRoIHead directly via model.apply("
+            "..., bboxes=[N,5]) — see tests/test_resnet_video_parity.py"
+        )
     """Config validation (reference lib/config/defaults.py:1046-1070)."""
     assert cfg.TRAIN.CHECKPOINT_TYPE in ["pytorch", "caffe2"]
     assert cfg.TRAIN.BATCH_SIZE % max(cfg.NUM_GPUS, 1) == 0

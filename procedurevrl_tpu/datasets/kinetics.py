@@ -71,10 +71,13 @@ class Kinetics(EpochRNG):
             crop = self.cfg.DATA.TRAIN_CROP_SIZE
             if short_cycle_idx in (0, 1):
                 # reference kinetics.py:142-158: shrink the crop for the two
-                # short-cycle phases; scale shrinks proportionally
+                # short-cycle phases; scale shrinks proportionally.
+                # DEFAULT_S is snapshotted by init_multigrid; fall back to
+                # the configured crop for standalone loaders
+                default_s = self.cfg.MULTIGRID.DEFAULT_S or crop
                 crop = int(round(
                     self.cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
-                    * self.cfg.MULTIGRID.DEFAULT_S
+                    * default_s
                 ))
             if self.cfg.MULTIGRID.DEFAULT_S > 0:
                 min_s = int(round(

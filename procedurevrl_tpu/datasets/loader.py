@@ -110,7 +110,13 @@ class Loader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.short_cycle_sizes is not None:
-            return int(n // (sum(self.short_cycle_sizes) / 3.0))
+            # exact count of the cycling batch plan __iter__ executes
+            # (an averaged estimate drifts from the real step count)
+            cursor = counter = 0
+            while cursor + self.short_cycle_sizes[counter % 3] <= n:
+                cursor += self.short_cycle_sizes[counter % 3]
+                counter += 1
+            return counter
         if self.drop_last:
             return n // self.global_batch
         return (n + self.global_batch - 1) // self.global_batch
@@ -148,6 +154,20 @@ class Loader:
             plan = [(b * self.global_batch, self.global_batch, None)
                     for b in range(n_batches)]
 
+        def _put(q, item, stop_ev, timeout=0.25):
+            """Bounded put that keeps checking the stop event: a consumer
+            that abandons the generator mid-epoch (precise-BN, breaks,
+            exceptions) sets ``stop`` and would otherwise leave the
+            producer blocked in ``Queue.put`` forever, leaking the thread
+            and its worker pool every time."""
+            while not stop_ev.is_set():
+                try:
+                    q.put(item, timeout=timeout)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 pending = []
@@ -182,11 +202,12 @@ class Loader:
                         try:
                             samples = [f.result() for f in futs0]
                             batch, idx, extra = _collate(samples)
-                            out_q.put((batch, nv0, extra))
+                            if not _put(out_q, (batch, nv0, extra), stop):
+                                return  # consumer gone: unblock and exit
                         except Exception as e:  # surface in consumer
-                            out_q.put(e)
+                            _put(out_q, e, stop)
                             return
-            out_q.put(None)
+            _put(out_q, None, stop)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -227,9 +248,12 @@ def construct_loader(cfg, split: str) -> Loader:
     if split == "train" and cfg.MULTIGRID.SHORT_CYCLE:
         # reference multigrid_helper.py:41-58: bigger batches at the two
         # smaller short-cycle crops
+        # DEFAULT_S is snapshotted by MultigridSchedule.init_multigrid;
+        # fall back to the current crop when a loader is built standalone
+        default_s = cfg.MULTIGRID.DEFAULT_S or cfg.DATA.TRAIN_CROP_SIZE
         bs_factor = [
             int(round((float(cfg.DATA.TRAIN_CROP_SIZE)
-                       / (s * cfg.MULTIGRID.DEFAULT_S)) ** 2))
+                       / (s * default_s)) ** 2))
             for s in cfg.MULTIGRID.SHORT_CYCLE_FACTORS
         ]
         g = batch_size * jax.process_count()
@@ -276,8 +300,15 @@ def prefetch_to_device(loader: Loader, mesh, size: int = 2):
                 return
             queue.append((shard_batch(mesh, batch), n_valid, extra, batch))
 
-    enqueue(size)
-    while queue:
-        item = queue.popleft()
-        enqueue(1)
-        yield item
+    try:
+        enqueue(size)
+        while queue:
+            item = queue.popleft()
+            enqueue(1)
+            yield item
+    finally:
+        # propagate close()/GeneratorExit to the loader generator so its
+        # producer thread is stopped promptly (not at GC time)
+        close = getattr(it, "close", None)
+        if close is not None:
+            close()

@@ -857,6 +857,10 @@ class ResNetRoIHead(nn.Module):
     def __call__(self, inputs: list, bboxes: jax.Array, train: bool) -> jax.Array:
         from procedurevrl_tpu.ops.roi_align import roi_align
 
+        assert bboxes is not None, (
+            "detection forward requires bboxes [N, 5] "
+            "(batch_idx, x1, y1, x2, y2) in input-image coordinates"
+        )
         assert len(inputs) == len(self.pool_size), (
             f"Input tensor does not contain {len(self.pool_size)} pathway"
         )

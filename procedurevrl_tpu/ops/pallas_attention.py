@@ -124,13 +124,9 @@ def _head_spec(npad: int, width: int, gb: int):
                         memory_space=pltpu.VMEM)
 
 
-def _batch_group(b: int, nbufs: int = 7) -> int:
+def _batch_group(b: int) -> int:
     """Rows per grid step: amortize per-step DMA/launch overhead (a
-    1-row grid at N=197 measured ~25x slower than the matmul bound).
-    Bounded by scoped VMEM: with ``nbufs`` double-buffered
-    (gb, 208, 128) blocks staged, gb*nbufs*208*128*2B*2 must fit the
-    16 MB budget — the 7-buffer backward caps at 12, the 4-buffer
-    forward can take 24."""
+    1-row grid at N=197 measured ~25x slower than the matmul bound)."""
     import os
 
     # empirical: gb=12 is the sweet spot for both directions (a forward
@@ -153,7 +149,7 @@ def _flash_fwd(q, k, v, num_heads: int, scale: float):
     assert hpb > 0, (
         f"unsupported geometry for fused attention: d={d}, H={num_heads}"
     )
-    gb = _batch_group(b, nbufs=4)
+    gb = _batch_group(b)
     npad = _pad_rows(n)
     spec = _head_spec(npad, d * hpb, gb)
     return pl.pallas_call(
@@ -299,7 +295,7 @@ def _flash_cls_fwd(q, k, v, qc, kc, vc, num_heads: int, scale: float):
     d = c // num_heads
     hpb = _heads_per_block(d, num_heads)
     assert hpb > 0, f"unsupported geometry: d={d}, H={num_heads}"
-    gb = _batch_group(b, nbufs=4)
+    gb = _batch_group(b)
     npad = _pad_rows(n + 1)  # one padding row hosts the cls splice
     spec = _head_spec(npad, d * hpb, gb)
     cspec = _cls_spec(d * hpb, gb)

@@ -276,6 +276,10 @@ def evaluate_ava(preds, original_boxes, metadata, excluded_keys,
                  video_idx_to_name=None, name="latest",
                  output_dir: Optional[str] = None):
     """reference ava_eval_helper.py:137-171; returns the mAP scalar."""
+    assert groundtruth is not None, (
+        "evaluate_ava needs the (boxes, labels, scores) ground-truth "
+        "triple from read_csv"
+    )
     t0 = time.time()
     detections = get_ava_eval_data(
         preds, original_boxes, metadata, class_whitelist,

@@ -22,6 +22,12 @@ class MultigridSchedule:
 
     def init_multigrid(self, cfg):
         self.schedule = None
+        # snapshot the base shape before any cycle mutates it (reference
+        # lib/utils/multigrid.py:35-42); DEFAULT_* default to 0 in the
+        # config and everything downstream divides by them
+        cfg.MULTIGRID.DEFAULT_B = cfg.TRAIN.BATCH_SIZE
+        cfg.MULTIGRID.DEFAULT_T = cfg.DATA.NUM_FRAMES
+        cfg.MULTIGRID.DEFAULT_S = cfg.DATA.TRAIN_CROP_SIZE
         if cfg.MULTIGRID.LONG_CYCLE:
             self.schedule = self.get_long_cycle_schedule(cfg)
             cfg.SOLVER.STEPS = [0] + [s[-1] for s in self.schedule]

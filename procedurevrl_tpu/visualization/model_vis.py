@@ -79,20 +79,41 @@ class GradCAM:
     """
 
     def __init__(self, model, target_layer: str,
-                 token_grid: Optional[Tuple[int, int, int]] = None):
+                 token_grid: Optional[Tuple[int, int, int]] = None,
+                 num_frames: Optional[int] = None):
         self.model = model
         self.target_layer = target_layer
         self.token_grid = token_grid
+        # with token_grid=None the (T, H, W) grid is inferred from the
+        # captured activation's token count and num_frames — works for any
+        # patch size / pooled token stream with a square spatial grid
+        self.num_frames = num_frames
 
     def _forward_with_probe(self, variables, x, probes: dict, **kwargs):
         """Apply the model with `out + probe` spliced into the target
         module's output; returns (preds, activation)."""
         captured = {}
 
+        matched = set()
+
         def interceptor(next_fn, args, kw, context):
             out = next_fn(*args, **kw)
             name = "/".join(context.module.path)
-            if self.target_layer in name and context.method_name == "__call__":
+            # suffix match one module: substring matching would probe every
+            # block's layer of that name and sum gradients across layers
+            # while keeping only the last activation
+            if (
+                context.method_name == "__call__"
+                and (name == self.target_layer
+                     or name.endswith("/" + self.target_layer))
+            ):
+                matched.add(name)
+                if len(matched) > 1:
+                    raise ValueError(
+                        f"GradCAM target {self.target_layer!r} matches "
+                        f"multiple modules: {sorted(matched)}; qualify the "
+                        "path (e.g. 'blocks_11/norm1')"
+                    )
                 main = out[0] if isinstance(out, tuple) else out
                 captured["act"] = main
                 patched = main + probes["p"]
@@ -103,7 +124,36 @@ class GradCAM:
 
         with nn.intercept_methods(interceptor):
             preds = self.model.apply(variables, x, **kwargs)
+        if "act" not in captured:
+            raise ValueError(
+                f"GradCAM target {self.target_layer!r} matched no module"
+            )
         return preds, captured["act"]
+
+    def _infer_grid(self, n_tokens: int):
+        """(T, H, W) from the token count: try with/without a CLS token and
+        T in (num_frames, num_frames//2, ...); square spatial grid."""
+        import math
+
+        cands = []
+        if self.num_frames:
+            t0 = self.num_frames
+            while t0 >= 1:
+                cands.append(t0)
+                if t0 == 1:
+                    break
+                t0 //= 2
+        else:
+            cands = [1]
+        for cls in (1, 0):
+            rem = n_tokens - cls
+            for t in cands:
+                if rem % t:
+                    continue
+                side = math.isqrt(rem // t)
+                if side * side == rem // t:
+                    return (t, side, side)
+        return None
 
     def __call__(self, variables, x, labels=None, **kwargs):
         """Returns (cam [B, T, H, W] in [0, 1], preds)."""
@@ -126,12 +176,15 @@ class GradCAM:
 
         a = np.asarray(act, np.float32)
         g = np.asarray(grads, np.float32)
-        if a.ndim == 3 and self.token_grid:  # token stream [B, N(+1), C]
-            t, h, w = self.token_grid
-            if a.shape[1] == t * h * w + 1:
-                a, g = a[:, 1:], g[:, 1:]
-            a = a.reshape(a.shape[0], t, h, w, a.shape[-1])
-            g = g.reshape(g.shape[0], t, h, w, g.shape[-1])
+        if a.ndim == 3:  # token stream [B, N(+1), C]
+            grid = self.token_grid or self._infer_grid(a.shape[1])
+            if grid is not None:
+                t, h, w = grid
+                if a.shape[1] == t * h * w + 1:
+                    a, g = a[:, 1:], g[:, 1:]
+                if a.shape[1] == t * h * w:
+                    a = a.reshape(a.shape[0], t, h, w, a.shape[-1])
+                    g = g.reshape(g.shape[0], t, h, w, g.shape[-1])
         weights = g.mean(axis=tuple(range(1, g.ndim - 1)), keepdims=True)
         cam = np.maximum((weights * a).sum(axis=-1), 0.0)
         flat = cam.reshape(cam.shape[0], -1)

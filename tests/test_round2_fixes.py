@@ -241,3 +241,71 @@ def test_short_cycle_loader_batches():
     full = cfg.DATA.TRAIN_CROP_SIZE
     assert crops[2] == full and crops[0] < full and crops[1] < full
     assert len(loader) == int(len(loader.dataset) // ((8 + 4 + 2) / 3.0))
+
+
+def test_abandoned_loader_iterator_stops_producer_thread():
+    """Breaking out of a loader epoch (precise-BN consumes only a few
+    batches) must stop the producer thread promptly instead of leaving it
+    blocked in Queue.put forever."""
+    import threading
+    import time
+
+    from procedurevrl_tpu.config import get_cfg
+    from procedurevrl_tpu.datasets import loader as loader_mod
+
+    cfg = get_cfg()
+    cfg.DEV.LOAD_DUMMY_DATA = True
+    cfg.TRAIN.DATASET = "kinetics"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES = [36, 40]
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+    loader = loader_mod.construct_loader(cfg, "train")
+
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)  # producer running, queue filling
+    it.close()  # abandon mid-epoch
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        f"producer threads leaked: {threading.active_count()} > {before}"
+    )
+
+
+def test_short_cycle_len_matches_iter_plan():
+    """Loader.__len__ must equal the number of batches __iter__ yields in
+    short-cycle mode (meters/LR schedule consume __len__)."""
+    import numpy as np
+
+    from procedurevrl_tpu.datasets.loader import Loader
+
+    class Tiny:
+        def __len__(self):
+            return 100
+
+        def __getitem__(self, i):
+            idx, cycle = i if isinstance(i, tuple) else (i, None)
+            return (np.zeros((2, 8, 8, 3), np.float32), 0, idx, {})
+
+    loader = Loader(Tiny(), global_batch_size=8, shuffle=False,
+                    drop_last=True, num_workers=2, prefetch_depth=2,
+                    short_cycle_sizes=(32, 16, 8))
+    n_iter = sum(1 for _ in loader)
+    assert len(loader) == n_iter, (len(loader), n_iter)
+
+
+def test_multigrid_init_sets_default_shape():
+    """init_multigrid snapshots DEFAULT_B/T/S (they default to 0 and the
+    short-cycle batch plan divides by DEFAULT_S)."""
+    from procedurevrl_tpu.config import get_cfg
+    from procedurevrl_tpu.utils.multigrid import MultigridSchedule
+
+    cfg = get_cfg()
+    cfg.MULTIGRID.SHORT_CYCLE = True
+    cfg = MultigridSchedule().init_multigrid(cfg)
+    assert cfg.MULTIGRID.DEFAULT_S == cfg.DATA.TRAIN_CROP_SIZE
+    assert cfg.MULTIGRID.DEFAULT_T == cfg.DATA.NUM_FRAMES
+    assert cfg.MULTIGRID.DEFAULT_B == cfg.TRAIN.BATCH_SIZE

@@ -95,8 +95,6 @@ def summarize(trace_dir: str, top: int = 35) -> None:
         space.ParseFromString(f.read())
 
     for plane in space.planes:
-        if "TPU" not in plane.name or "XLA Op" in plane.name:
-            pass
         if not plane.name.startswith("/device:TPU"):
             continue
         ev_meta = plane.event_metadata

@@ -242,6 +242,12 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cfg, cur_epoch, mesh):
 def train(cfg):
     """Full training entry (reference ``tools/train_net.py:417-530``)."""
     logging_util.setup_logging(cfg.OUTPUT_DIR)
+    if cfg.MULTIGRID.LONG_CYCLE or cfg.MULTIGRID.SHORT_CYCLE:
+        # snapshot DEFAULT_B/T/S + epoch-factor schedule adjustment before
+        # loaders/models read the cfg (reference train_net.py:419-424)
+        from procedurevrl_tpu.utils.multigrid import MultigridSchedule
+
+        cfg = MultigridSchedule().init_multigrid(cfg)
     logger.info("Train with config:")
     logger.info(cfg)
 
@@ -254,6 +260,15 @@ def train(cfg):
     rep, data = replicated(mesh), batch_sharding(mesh)
     rng = jax.device_put(jax.random.PRNGKey(cfg.RNG_SEED), rep)
     state_sharding = rep
+    if accum > 1 and (cfg.TPU.MESH_MODEL > 1 or cfg.TPU.SHARD_OPT_STATE):
+        # fail loudly: the streaming-accumulation path runs replicated, so
+        # silently ignoring these knobs would hand back the OOM/duplicated
+        # compute the user configured around
+        raise NotImplementedError(
+            "TPU.MESH_MODEL > 1 / TPU.SHARD_OPT_STATE require accum == 1 "
+            f"(GLOBAL_BATCH_SIZE gives accum={accum}); raise "
+            "TRAIN.BATCH_SIZE or lower GLOBAL_BATCH_SIZE"
+        )
     if cfg.TPU.MESH_MODEL > 1 and accum == 1:
         # Megatron-style tensor parallelism over the `model` axis
         # (parallel/mesh.py:tp_state_shardings); run the XLA attention
@@ -326,20 +341,24 @@ def train(cfg):
         is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch)
         is_eval = val_loader is not None and misc.is_eval_epoch(cfg, cur_epoch)
         if (is_checkp or is_eval) and stats_step is not None:
-            # precise BN before checkpoint/eval (reference train_net.py:511-514)
+            # precise BN before checkpoint/eval (reference train_net.py:511-514).
+            # Close the prefetch generator explicitly: precise BN consumes
+            # only NUM_BATCHES_PRECISE batches, and an abandoned generator
+            # would strand the loader's producer thread until GC.
+            import contextlib
+
             from procedurevrl_tpu.utils.bn import compute_precise_bn_stats
 
-            batches = (
-                b for b, _n, _e, _h in loader_mod.prefetch_to_device(
-                    train_loader, mesh, size=cfg.TPU.PREFETCH_DEPTH
+            prefetched_bn = loader_mod.prefetch_to_device(
+                train_loader, mesh, size=cfg.TPU.PREFETCH_DEPTH
+            )
+            with contextlib.closing(prefetched_bn):
+                precise = compute_precise_bn_stats(
+                    lambda ms, b: stats_step(state.params, ms, b, rng),
+                    state.model_state,
+                    (b for b, _n, _e, _h in prefetched_bn),
+                    min(cfg.BN.NUM_BATCHES_PRECISE, len(train_loader)),
                 )
-            )
-            precise = compute_precise_bn_stats(
-                lambda ms, b: stats_step(state.params, ms, b, rng),
-                state.model_state,
-                batches,
-                min(cfg.BN.NUM_BATCHES_PRECISE, len(train_loader)),
-            )
             state = state.replace(model_state=precise)
         if is_checkp:
             if ckpt is not None:

@@ -64,10 +64,10 @@ def run_model_vis(cfg, writer, class_names):
     loader = loader_mod.construct_loader(cfg, "test")
     gradcam = None
     if mv.GRAD_CAM.ENABLE and mv.GRAD_CAM.LAYER_LIST:
-        T = cfg.DATA.NUM_FRAMES
-        side = cfg.DATA.TEST_CROP_SIZE // 16
+        # grid inferred from the captured activation (any patch size /
+        # pooled token stream), seeded with the frame count
         gradcam = GradCAM(model, mv.GRAD_CAM.LAYER_LIST[0],
-                          token_grid=(T, side, side))
+                          num_frames=cfg.DATA.NUM_FRAMES)
     for cur_iter, (batch, n_valid, _extra) in enumerate(loader):
         if cur_iter >= 1:  # a single batch is enough for inspection
             break
