@@ -479,6 +479,11 @@ _DEFAULTS = _build_defaults()
 
 
 def _assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
+    """Config validation (reference lib/config/defaults.py:1046-1070).
+
+    Runs on the defaults at ``get_cfg()`` time and again on the merged
+    config in ``utils/parser.load_config`` (user overrides land after the
+    first call)."""
     if cfg.DETECTION.ENABLE:
         # the RoI head (models/resnet_video.py:ResNetRoIHead) and AVA
         # evaluation (utils/ava_eval.py) exist, but no shipped dataset
@@ -490,7 +495,6 @@ def _assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
             "framework; drive ResNetRoIHead directly via model.apply("
             "..., bboxes=[N,5]) — see tests/test_resnet_video_parity.py"
         )
-    """Config validation (reference lib/config/defaults.py:1046-1070)."""
     assert cfg.TRAIN.CHECKPOINT_TYPE in ["pytorch", "caffe2"]
     assert cfg.TRAIN.BATCH_SIZE % max(cfg.NUM_GPUS, 1) == 0
     assert cfg.TEST.CHECKPOINT_TYPE in ["pytorch", "caffe2"]

@@ -107,16 +107,22 @@ class Loader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
+    def _short_cycle_plan(self, n: int):
+        """[(start, size, cycle_idx)] batch plan cycling through the three
+        short-cycle sizes — the single source of truth for __len__ and
+        __iter__ (reference multigrid_helper.py:41-79)."""
+        plan, cursor, counter = [], 0, 0
+        while cursor + self.short_cycle_sizes[counter % 3] <= n:
+            size = self.short_cycle_sizes[counter % 3]
+            plan.append((cursor, size, counter % 3))
+            cursor += size
+            counter += 1
+        return plan
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.short_cycle_sizes is not None:
-            # exact count of the cycling batch plan __iter__ executes
-            # (an averaged estimate drifts from the real step count)
-            cursor = counter = 0
-            while cursor + self.short_cycle_sizes[counter % 3] <= n:
-                cursor += self.short_cycle_sizes[counter % 3]
-                counter += 1
-            return counter
+            return len(self._short_cycle_plan(n))
         if self.drop_last:
             return n // self.global_batch
         return (n + self.global_batch - 1) // self.global_batch
@@ -143,12 +149,7 @@ class Loader:
 
         # (global batch size, short-cycle idx or None) per batch
         if self.short_cycle_sizes is not None:
-            plan, cursor, counter = [], 0, 0
-            while cursor + self.short_cycle_sizes[counter % 3] <= len(order):
-                size = self.short_cycle_sizes[counter % 3]
-                plan.append((cursor, size, counter % 3))
-                cursor += size
-                counter += 1
+            plan = self._short_cycle_plan(len(order))
             n_batches = len(plan)
         else:
             plan = [(b * self.global_batch, self.global_batch, None)

@@ -79,7 +79,11 @@ def load_config(args):
     if getattr(args, "init_method", ""):
         cfg.TPU.COORDINATOR_ADDRESS = args.init_method
 
-    return cfg
+    # re-validate the MERGED config: get_cfg() only validated the defaults,
+    # before the YAML/CLI overrides landed
+    from procedurevrl_tpu.config.defaults import _assert_and_infer_cfg
+
+    return _assert_and_infer_cfg(cfg)
 
 
 def enable_compilation_cache():

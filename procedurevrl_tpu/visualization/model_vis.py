@@ -178,13 +178,21 @@ class GradCAM:
         g = np.asarray(grads, np.float32)
         if a.ndim == 3:  # token stream [B, N(+1), C]
             grid = self.token_grid or self._infer_grid(a.shape[1])
-            if grid is not None:
-                t, h, w = grid
-                if a.shape[1] == t * h * w + 1:
-                    a, g = a[:, 1:], g[:, 1:]
-                if a.shape[1] == t * h * w:
-                    a = a.reshape(a.shape[0], t, h, w, a.shape[-1])
-                    g = g.reshape(g.shape[0], t, h, w, g.shape[-1])
+            if grid is None:
+                raise ValueError(
+                    f"GradCAM: cannot infer a (T, H, W) grid for "
+                    f"{a.shape[1]} tokens (num_frames={self.num_frames}); "
+                    "pass token_grid= explicitly"
+                )
+            t, h, w = grid
+            if a.shape[1] == t * h * w + 1:
+                a, g = a[:, 1:], g[:, 1:]
+            if a.shape[1] != t * h * w:
+                raise ValueError(
+                    f"GradCAM: grid {grid} does not match {a.shape[1]} tokens"
+                )
+            a = a.reshape(a.shape[0], t, h, w, a.shape[-1])
+            g = g.reshape(g.shape[0], t, h, w, g.shape[-1])
         weights = g.mean(axis=tuple(range(1, g.ndim - 1)), keepdims=True)
         cam = np.maximum((weights * a).sum(axis=-1), 0.0)
         flat = cam.reshape(cam.shape[0], -1)

@@ -75,3 +75,45 @@ def test_slowfast_train_tool_end_to_end(tmp_path):
     assert len(flat_a) == len(flat_b)
     for x, y in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_long_cycle_multigrid_train_e2e(tmp_path):
+    """MULTIGRID.LONG_CYCLE end-to-end: the schedule rewrites
+    SOLVER.STEPS/LRS/MAX_EPOCH and each phase change rebuilds the loader /
+    train step at the phase's (T, S, B) shape while weights carry over
+    (reference tools/train_net.py:487-506)."""
+    from tools.train_net import train
+    from procedurevrl_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.DEV.LOAD_DUMMY_DATA = True
+    cfg.TRAIN.DATASET = "kinetics"
+    cfg.TEST.ENABLE = False
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.GLOBAL_BATCH_SIZE = 8
+    cfg.MODEL.MODEL_NAME = "vit_base_patch16_224_develop"
+    cfg.MODEL.ARCH = "vit"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.LOSS_FUNC = "cross_entropy"
+    cfg.MODEL.PRETRAINED = False
+    cfg.TIMESFORMER.DEPTH = 1
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 64
+    cfg.DATA.TEST_CROP_SIZE = 64
+    cfg.DATA.TRAIN_JITTER_SCALES = [72, 80]
+    cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+    cfg.SOLVER.LR_POLICY = "steps_with_relative_lrs"
+    cfg.SOLVER.STEPS = [0, 2, 4]
+    cfg.SOLVER.LRS = [1.0, 0.1, 0.01]
+    cfg.SOLVER.MAX_EPOCH = 5
+    cfg.MULTIGRID.LONG_CYCLE = True
+    cfg.MULTIGRID.EPOCH_FACTOR = 1.0
+    # patch-aligned factors (the reference's 1/sqrt(2) spatial factor is
+    # convnet-only; ViT crops must stay multiples of the patch size)
+    cfg.MULTIGRID.LONG_CYCLE_FACTORS = [[0.5, 0.5], [1, 1]]
+    cfg.TRAIN.EVAL_PERIOD = 100
+    cfg.TRAIN.CHECKPOINT_PERIOD = 100
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.OUTPUT_DIR = str(tmp_path)
+    state = train(cfg)
+    assert int(state.step) > 0

@@ -242,12 +242,19 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cfg, cur_epoch, mesh):
 def train(cfg):
     """Full training entry (reference ``tools/train_net.py:417-530``)."""
     logging_util.setup_logging(cfg.OUTPUT_DIR)
+    multigrid = None
     if cfg.MULTIGRID.LONG_CYCLE or cfg.MULTIGRID.SHORT_CYCLE:
         # snapshot DEFAULT_B/T/S + epoch-factor schedule adjustment before
         # loaders/models read the cfg (reference train_net.py:419-424)
         from procedurevrl_tpu.utils.multigrid import MultigridSchedule
 
-        cfg = MultigridSchedule().init_multigrid(cfg)
+        multigrid = MultigridSchedule()
+        cfg = multigrid.init_multigrid(cfg)
+        if cfg.MULTIGRID.LONG_CYCLE:
+            assert cfg.TPU.MESH_MODEL == 1 and not cfg.TPU.SHARD_OPT_STATE, (
+                "long-cycle multigrid rebuilds the step per phase; "
+                "combine it with TP/ZeRO shardings explicitly if needed"
+            )
     logger.info("Train with config:")
     logger.info(cfg)
 
@@ -287,25 +294,28 @@ def train(cfg):
         state_sharding = zero1_state_shardings(state, mesh)
     state = jax.device_put(state, state_sharding)
 
-    if accum == 1:
-        compiled = jax.jit(train_step,
-                           in_shardings=(state_sharding, data, rep),
-                           out_shardings=(state_sharding, rep),
-                           donate_argnums=(0,))
-        grad_apply = None
-    else:
-        compiled = None
-        grad_fn = jax.jit(train_step.grad_step,
+    def _compile_phase(step_fn, accum_, sharding):
+        """(compiled, grad_apply) for one training phase; re-invoked when a
+        long-cycle shape change swaps the step function."""
+        if accum_ == 1:
+            return (
+                jax.jit(step_fn, in_shardings=(sharding, data, rep),
+                        out_shardings=(sharding, rep), donate_argnums=(0,)),
+                None,
+            )
+        grad_fn = jax.jit(step_fn.grad_step,
                           in_shardings=(rep, rep, rep, data, rep, rep),
                           donate_argnums=(2,))
-        apply_fn = jax.jit(train_step.apply_step, donate_argnums=(0, 1))
+        apply_fn = jax.jit(step_fn.apply_step, donate_argnums=(0, 1))
         zeros_fn = jax.jit(
             lambda p: jax.tree_util.tree_map(
                 lambda x: jnp.zeros(x.shape, jnp.float32), p
             ),
             out_shardings=rep,
         )
-        grad_apply = (grad_fn, apply_fn, zeros_fn)
+        return None, (grad_fn, apply_fn, zeros_fn)
+
+    compiled, grad_apply = _compile_phase(train_step, accum, state_sharding)
 
     val_loader = (
         loader_mod.construct_loader(cfg, "val")
@@ -333,6 +343,33 @@ def train(cfg):
         )
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
+            # long-cycle phase change: new (T, S, B) shape — rebuild the
+            # loader/step/meter; the live weights and optimizer state carry
+            # over (the reference rebuilds the trainer and reloads the last
+            # checkpoint, reference train_net.py:487-506; params here are
+            # shape-independent — pos/time embeddings interpolate at apply)
+            cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
+            if changed:
+                logger.info(
+                    "Long cycle at epoch %d: T=%d S=%d B=%d", cur_epoch + 1,
+                    cfg.DATA.NUM_FRAMES, cfg.DATA.TRAIN_CROP_SIZE,
+                    cfg.TRAIN.BATCH_SIZE,
+                )
+                train_loader = loader_mod.construct_loader(cfg, "train")
+                steps_per_epoch = max(len(train_loader), 1)
+                cur_global = cfg.TRAIN.BATCH_SIZE * max(jax.process_count(), 1)
+                accum = max(cfg.GLOBAL_BATCH_SIZE // max(cur_global, 1), 1)
+                from procedurevrl_tpu.solver import lr_schedule as _lr_sched
+
+                sched_p = _lr_sched(cfg, max(steps_per_epoch // accum, 1))
+                train_step = make_train_step(
+                    model, tx, cfg, label_emb, sched_p, accum
+                )
+                compiled, grad_apply = _compile_phase(
+                    train_step, accum, state_sharding
+                )
+                train_meter = meters_mod.TrainMeter(steps_per_epoch, cfg)
         loader_mod.shuffle_dataset(train_loader, cur_epoch)
         state = train_epoch(
             train_loader, state, compiled, cfg, cur_epoch, mesh, train_meter,
