@@ -48,7 +48,7 @@ def capture(trace_dir: str, n_steps: int = 4) -> None:
         cfg.TPU.REMAT = os.environ["BENCH_REMAT"] == "1"
     if os.environ.get("BENCH_PALLAS"):
         cfg.TPU.USE_PALLAS_ATTENTION = os.environ["BENCH_PALLAS"] == "1"
-    B = int(os.environ.get("BENCH_B", "1" if bench_model == "mvit" else "2"))
+    B = int(os.environ.get("BENCH_B", "2"))
     M = cfg.DEV.ORDER_PRETRAIN_MAX_LEN
     T, S = cfg.DATA.NUM_FRAMES, cfg.DATA.TRAIN_CROP_SIZE
 
