@@ -101,6 +101,33 @@ def local_batch_slice(global_batch: int, num_hosts: int, host_id: int) -> slice:
     return slice(host_id * per, (host_id + 1) * per)
 
 
+def _zero1_leaf_spec(mesh: Mesh, min_size: int):
+    """Leaf rule shared by the ZeRO-1 moment and grad-accumulator plans:
+    shard the first axis over ``data`` when it divides the axis size and
+    the tensor is big enough to matter."""
+    rep = replicated(mesh)
+    n = mesh.shape[DATA_AXIS]
+
+    def leaf_spec(x):
+        shape = getattr(x, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if len(shape) >= 1 and shape[0] % n == 0 and size >= min_size:
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return rep
+
+    return leaf_spec
+
+
+def zero1_grad_shardings(params, mesh: Mesh, min_size: int = 2 ** 16):
+    """Sharding plan for the streaming gradient accumulator under ZeRO-1:
+    the accumulator is partitioned over ``data`` with the same leaf rule as
+    the AdamW moments, so GLOBAL_BATCH_SIZE accumulation composes with
+    ``TPU.SHARD_OPT_STATE`` — each micro-step's replicated grads land in a
+    sharded buffer (a reduce-scatter in effect) and the apply step reads
+    moments and accumulator with matching layouts."""
+    return jax.tree_util.tree_map(_zero1_leaf_spec(mesh, min_size), params)
+
+
 def zero1_state_shardings(state, mesh: Mesh, min_size: int = 2 ** 16):
     """ZeRO-1-style sharding plan for a TrainState: optimizer moments are
     partitioned over the ``data`` axis, params/step/model_state replicated.
@@ -118,17 +145,10 @@ def zero1_state_shardings(state, mesh: Mesh, min_size: int = 2 ** 16):
     size and the tensor is big enough to matter; everything else
     (scalars, counts, small embeddings) stays replicated.
     """
+    opt_shardings = jax.tree_util.tree_map(
+        _zero1_leaf_spec(mesh, min_size), state.opt_state
+    )
     rep = replicated(mesh)
-    n = mesh.shape[DATA_AXIS]
-
-    def leaf_spec(x):
-        shape = getattr(x, "shape", ())
-        size = int(np.prod(shape)) if shape else 0
-        if len(shape) >= 1 and shape[0] % n == 0 and size >= min_size:
-            return NamedSharding(mesh, P(DATA_AXIS))
-        return rep
-
-    opt_shardings = jax.tree_util.tree_map(leaf_spec, state.opt_state)
     return type(state)(
         step=rep,
         params=jax.tree_util.tree_map(lambda _: rep, state.params),

@@ -254,6 +254,89 @@ class ValMeter:
         })
 
 
+class EPICValMeter:
+    """Verb/noun/action validation meter (reference
+    ``lib/utils/meters.py:798-978``): accuracy-based (not error-based),
+    tracking the max over epochs; ``update_stats`` takes the
+    (verb, noun, action) top-1 and top-5 accuracy triplets."""
+
+    _KEYS = ("verb", "noun", "action")
+
+    def __init__(self, max_iter: int, cfg):
+        self._cfg = cfg
+        self.max_iter = max_iter
+        self.iter_timer = Timer()
+        self.mb = {
+            f"{k}_top{j}": ScalarMeter(cfg.LOG_PERIOD)
+            for k in self._KEYS for j in (1, 5)
+        }
+        self.num_cor = {k: 0.0 for k in self.mb}
+        self.max_acc = {k: 0.0 for k in self.mb}
+        self.num_samples = 0
+
+    def reset(self):
+        for m in self.mb.values():
+            m.reset()
+        self.num_cor = {k: 0.0 for k in self.mb}
+        self.num_samples = 0
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+
+    def update_stats(self, top1_acc, top5_acc, mb_size):
+        """top1_acc / top5_acc: (verb, noun, action) accuracy triplets."""
+        for i, k in enumerate(self._KEYS):
+            self.mb[f"{k}_top1"].add_value(top1_acc[i])
+            self.mb[f"{k}_top5"].add_value(top5_acc[i])
+            self.num_cor[f"{k}_top1"] += top1_acc[i] * mb_size
+            self.num_cor[f"{k}_top5"] += top5_acc[i] * mb_size
+        self.num_samples += mb_size
+
+    @staticmethod
+    def _stat_name(key: str) -> str:
+        # the reference logs the action metrics as plain top{k}_acc
+        return key.replace("action_", "") + "_acc"
+
+    def log_iter_stats(self, cur_epoch: int, cur_iter: int):
+        if (cur_iter + 1) % self._cfg.LOG_PERIOD != 0:
+            return
+        eta_sec = self.iter_timer.seconds() * (self.max_iter - cur_iter - 1)
+        stats = {
+            "_type": "val_iter",
+            "epoch": "{}/{}".format(cur_epoch + 1, self._cfg.SOLVER.MAX_EPOCH),
+            "iter": "{}/{}".format(cur_iter + 1, self.max_iter),
+            "time_diff": self.iter_timer.seconds(),
+            "eta": str(datetime.timedelta(seconds=int(eta_sec))),
+            "gpu_mem": "{:.2f}G".format(gpu_mem_usage()),
+        }
+        for k, m in self.mb.items():
+            stats[self._stat_name(k)] = m.get_win_median()
+        logging_util.log_json_stats(stats)
+
+    def log_epoch_stats(self, cur_epoch: int) -> bool:
+        """Returns is_best_epoch (action top-1 improved), as the reference."""
+        n = max(self.num_samples, 1)
+        accs = {k: self.num_cor[k] / n for k in self.num_cor}
+        is_best = accs["action_top1"] > self.max_acc["action_top1"]
+        for k in accs:
+            self.max_acc[k] = max(self.max_acc[k], accs[k])
+        stats = {
+            "_type": "val_epoch",
+            "epoch": "{}/{}".format(cur_epoch + 1, self._cfg.SOLVER.MAX_EPOCH),
+            "time_diff": self.iter_timer.seconds(),
+            "gpu_mem": "{:.2f}G".format(gpu_mem_usage()),
+        }
+        for k in accs:
+            stats[self._stat_name(k)] = accs[k]
+            stats["max_" + self._stat_name(k)] = self.max_acc[k]
+        logging_util.log_json_stats(stats)
+        self.stats = stats
+        return is_best
+
+
 class TestMeter:
     """Multi-view test ensembling (reference ``lib/utils/meters.py:21-204``)."""
 

@@ -181,11 +181,14 @@ def train_epoch(
                         extra={k: v for k, v in m.items()
                                if k in ("kl", "mse", "grad_norm")},
                     )
-            if writer is not None:
-                writer.add_scalars(
-                    {f"Train/{k}": v for k, v in m.items()},
-                    global_step=cur_epoch * data_size + cur_iter,
-                )
+                if writer is not None:
+                    # every drained entry at its own global step (the
+                    # reference writes train scalars every iteration,
+                    # reference tools/train_net.py:224-247)
+                    writer.add_scalars(
+                        {f"Train/{k}": v for k, v in m.items()},
+                        global_step=cur_epoch * data_size + it,
+                    )
             pending = []
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)
@@ -220,12 +223,19 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cfg, cur_epoch, mesh):
         preds = jax.device_get(
             compiled(state.eval_variables, {"frames": dev_batch["frames"]})
         )
-        if isinstance(preds, tuple):  # EPIC
-            v1, v5 = metrics_lib.topk_accuracies(
-                jnp.asarray(preds[0][:n_valid]),
-                jnp.asarray(batch["verb"][:n_valid]), (1, 5))
-            val_meter.update_stats(100.0 - float(v1), 100.0 - float(v5),
-                                   n_valid)
+        if isinstance(preds, tuple):  # EPIC: verb/noun/action triplet
+            # (reference tools/train_net.py:298-325 via the EPICValMeter)
+            vp = jnp.asarray(preds[0][:n_valid])
+            np_ = jnp.asarray(preds[1][:n_valid])
+            vl = jnp.asarray(batch["verb"][:n_valid])
+            nl = jnp.asarray(batch["noun"][:n_valid])
+            v1, v5 = metrics_lib.topk_accuracies(vp, vl, (1, 5))
+            n1, n5 = metrics_lib.topk_accuracies(np_, nl, (1, 5))
+            a1, a5 = metrics_lib.multitask_topk_accuracies(
+                (vp, np_), (vl, nl), (1, 5))
+            val_meter.update_stats(
+                (float(v1), float(n1), float(a1)),
+                (float(v5), float(n5), float(a5)), n_valid)
         else:
             labels = jnp.asarray(batch["labels"].reshape(-1)[:n_valid])
             top1, top5 = metrics_lib.topk_errors(
@@ -267,16 +277,15 @@ def train(cfg):
     rep, data = replicated(mesh), batch_sharding(mesh)
     rng = jax.device_put(jax.random.PRNGKey(cfg.RNG_SEED), rep)
     state_sharding = rep
-    if accum > 1 and (cfg.TPU.MESH_MODEL > 1 or cfg.TPU.SHARD_OPT_STATE):
-        # fail loudly: the streaming-accumulation path runs replicated, so
-        # silently ignoring these knobs would hand back the OOM/duplicated
-        # compute the user configured around
+    if accum > 1 and cfg.TPU.MESH_MODEL > 1:
+        # fail loudly: silently ignoring the knob would hand back the
+        # OOM/duplicated compute the user configured around
         raise NotImplementedError(
-            "TPU.MESH_MODEL > 1 / TPU.SHARD_OPT_STATE require accum == 1 "
+            "TPU.MESH_MODEL > 1 requires accum == 1 "
             f"(GLOBAL_BATCH_SIZE gives accum={accum}); raise "
             "TRAIN.BATCH_SIZE or lower GLOBAL_BATCH_SIZE"
         )
-    if cfg.TPU.MESH_MODEL > 1 and accum == 1:
+    if cfg.TPU.MESH_MODEL > 1:
         # Megatron-style tensor parallelism over the `model` axis
         # (parallel/mesh.py:tp_state_shardings); run the XLA attention
         # path — the Pallas kernels are not partition-aware
@@ -286,9 +295,10 @@ def train(cfg):
             "TPU.MESH_MODEL > 1 requires TPU.USE_PALLAS_ATTENTION False"
         )
         state_sharding = tp_state_shardings(state, mesh)
-    elif cfg.TPU.SHARD_OPT_STATE and accum == 1:
+    elif cfg.TPU.SHARD_OPT_STATE:
         # ZeRO-1: AdamW moments partitioned over the data axis
-        # (parallel/mesh.py:zero1_state_shardings)
+        # (parallel/mesh.py:zero1_state_shardings); composes with grad
+        # accumulation — the streaming accumulator gets the same plan
         from procedurevrl_tpu.parallel.mesh import zero1_state_shardings
 
         state_sharding = zero1_state_shardings(state, mesh)
@@ -303,15 +313,23 @@ def train(cfg):
                         out_shardings=(sharding, rep), donate_argnums=(0,)),
                 None,
             )
+        grad_shard = rep
+        if cfg.TPU.SHARD_OPT_STATE:
+            from procedurevrl_tpu.parallel.mesh import zero1_grad_shardings
+
+            grad_shard = zero1_grad_shardings(state.params, mesh)
         grad_fn = jax.jit(step_fn.grad_step,
-                          in_shardings=(rep, rep, rep, data, rep, rep),
+                          in_shardings=(rep, rep, grad_shard, data, rep, rep),
+                          out_shardings=(grad_shard, rep, rep),
                           donate_argnums=(2,))
-        apply_fn = jax.jit(step_fn.apply_step, donate_argnums=(0, 1))
+        apply_fn = jax.jit(step_fn.apply_step,
+                           in_shardings=(sharding, grad_shard),
+                           out_shardings=sharding, donate_argnums=(0, 1))
         zeros_fn = jax.jit(
             lambda p: jax.tree_util.tree_map(
                 lambda x: jnp.zeros(x.shape, jnp.float32), p
             ),
-            out_shardings=rep,
+            out_shardings=grad_shard,
         )
         return None, (grad_fn, apply_fn, zeros_fn)
 
@@ -322,9 +340,11 @@ def train(cfg):
         if cfg.TRAIN.EVAL_PERIOD <= cfg.SOLVER.MAX_EPOCH else None
     )
     train_meter = meters_mod.TrainMeter(steps_per_epoch, cfg)
-    val_meter = meters_mod.ValMeter(
-        len(val_loader) if val_loader else 0, cfg
+    val_meter_cls = (
+        meters_mod.EPICValMeter if cfg.TRAIN.DATASET == "Epickitchens"
+        else meters_mod.ValMeter
     )
+    val_meter = val_meter_cls(len(val_loader) if val_loader else 0, cfg)
     writer = None
     if cfg.TENSORBOARD.ENABLE and jax.process_index() == 0:
         from procedurevrl_tpu.visualization import TensorboardWriter
