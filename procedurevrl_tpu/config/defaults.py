@@ -455,6 +455,16 @@ def _build_defaults() -> CfgNode:
     _C.TPU.SHARD_OPT_STATE = False
     # keep qkv projections as remat residuals (more HBM, less recompute)
     _C.TPU.REMAT_SAVE_QKV = False
+    # keep flash-attention outputs as remat residuals (False = leanest
+    # footprint: full in-block recompute incl. the attention kernels)
+    _C.TPU.REMAT_SAVE_ATTN = True
+    # keep the temporal-attention pass output as a remat residual (the
+    # pass is relayout/tiny-matmul-bound; its [B,T,N,C] output is cheap
+    # to store relative to re-running it in the backward)
+    _C.TPU.REMAT_SAVE_TEMPORAL = True
+    # Adam moment storage dtype: "float32" (exact) or "bfloat16"
+    # (stochastic-rounded, halves optimizer-state HBM; solver/low_precision)
+    _C.TPU.MOMENT_DTYPE = "float32"
     # Number of host-pipeline prefetch buffers.
     _C.TPU.PREFETCH_DEPTH = 2
     # Ship uint8 frames to the device and normalize there (4x less

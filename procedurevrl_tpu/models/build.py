@@ -70,6 +70,8 @@ def _common_kwargs(cfg) -> dict:
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION,
         remat=cfg.TPU.REMAT,
         remat_save_qkv=cfg.TPU.REMAT_SAVE_QKV,
+        remat_save_attn=cfg.TPU.REMAT_SAVE_ATTN,
+        remat_save_temporal=cfg.TPU.REMAT_SAVE_TEMPORAL,
     )
 
 

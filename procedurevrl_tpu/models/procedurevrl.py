@@ -78,6 +78,8 @@ class ProcedureVRL(nn.Module):
     use_pallas: bool = False
     remat: bool = False
     remat_save_qkv: bool = False
+    remat_save_attn: bool = True
+    remat_save_temporal: bool = False
 
     def setup(self):
         if self.encoder_name == "timesformer":
@@ -94,6 +96,8 @@ class ProcedureVRL(nn.Module):
                 use_pallas=self.use_pallas,
                 remat=self.remat,
                 remat_save_qkv=self.remat_save_qkv,
+                remat_save_attn=self.remat_save_attn,
+                remat_save_temporal=self.remat_save_temporal,
                 name="encoder",
             )
         elif self.encoder_name == "mvit":

@@ -178,6 +178,8 @@ class TimeSformer(nn.Module):
     use_pallas: bool = False
     remat: bool = False
     remat_save_qkv: bool = False
+    remat_save_attn: bool = True
+    remat_save_temporal: bool = False
 
     @nn.compact
     def __call__(
@@ -254,8 +256,18 @@ class TimeSformer(nn.Module):
             # recomputing elementwise/GEMM fwd is cheap, re-running the
             # attention kernels is not. remat_save_qkv additionally keeps
             # the qkv projections (the largest recomputed GEMMs) when HBM
-            # allows.
-            names = ("flash_attn_out", "qkv_out") if self.remat_save_qkv                 else ("flash_attn_out",)
+            # allows; remat_save_attn=False saves NOTHING inside blocks
+            # (full recompute incl. the attention kernels — the leanest
+            # HBM footprint, for fitting larger batches).
+            names = ()
+            if self.remat_save_attn:
+                names += ("flash_attn_out",)
+            if self.remat_save_qkv:
+                names += ("qkv_out",)
+            if self.remat_save_temporal:
+                # keep the temporal pass (transposes + T x T batched
+                # matmuls, ~1/3 of the step) out of the backward recompute
+                names += ("temporal_out",)
             block_cls = nn.remat(
                 DividedSTBlock, static_argnums=(2, 3, 4), prevent_cse=False,
                 policy=jax.checkpoint_policies.save_only_these_names(*names),

@@ -203,7 +203,15 @@ def mhsa_temporal(
     # XLA fallback: one explicit (T, N) transpose each way
     xt = x.transpose(0, 2, 1, 3).reshape(b * n, t, c)
     out = mhsa_xla(xt, qkv_w, qkv_b, proj_w, proj_b, num_heads)
-    return out.reshape(b, n, t, c).transpose(0, 2, 1, 3)
+    out = out.reshape(b, n, t, c).transpose(0, 2, 1, 3)
+    # named so the remat policy can keep the WHOLE temporal pass as a
+    # residual (TPU.REMAT_SAVE_TEMPORAL): the pass is relayout- and
+    # tiny-matmul-bound (~1/3 of the step on v5e traces) but its output is
+    # only [B, T, N, C] bf16 — storing it is far cheaper than re-running
+    # the transposes + batched T x T matmuls in the backward
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(out, "temporal_out")
 
 
 def mhsa(

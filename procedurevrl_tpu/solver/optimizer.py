@@ -54,6 +54,17 @@ def _group_of(path: str, cfg) -> str:
     return "main"
 
 
+def _adam_scaling(cfg) -> optax.GradientTransformation:
+    """scale_by_adam with the configured moment storage dtype
+    (``TPU.MOMENT_DTYPE``; bf16 moments via solver/low_precision)."""
+    if cfg.TPU.MOMENT_DTYPE == "bfloat16":
+        from procedurevrl_tpu.solver.low_precision import scale_by_adam_lp
+
+        return scale_by_adam_lp(b1=0.9, b2=0.999, eps=1e-8, seed=cfg.RNG_SEED)
+    assert cfg.TPU.MOMENT_DTYPE == "float32", cfg.TPU.MOMENT_DTYPE
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
 def _core(cfg, wd: float, lr_mult: float, sched: Callable) -> optax.GradientTransformation:
     method = cfg.SOLVER.OPTIMIZING_METHOD
     neg = lambda s: -lr_mult * sched(s)
@@ -71,12 +82,11 @@ def _core(cfg, wd: float, lr_mult: float, sched: Callable) -> optax.GradientTran
         parts = []
         if wd:
             parts.append(optax.add_decayed_weights(wd))
-        parts += [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-                  optax.scale_by_schedule(neg)]
+        parts += [_adam_scaling(cfg), optax.scale_by_schedule(neg)]
         return optax.chain(*parts)
     if method == "adamw":
         return optax.chain(
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            _adam_scaling(cfg),
             optax.add_decayed_weights(wd),
             optax.scale_by_schedule(neg),
         )

@@ -289,3 +289,74 @@ def test_mixup_soft_targets_sane():
     assert mixed.shape == frames.shape
     assert soft.shape == (4, 10)
     np.testing.assert_allclose(np.asarray(jnp.sum(soft, 1)), 1.0, atol=1e-5)
+
+
+def test_stochastic_round_bf16_unbiased():
+    """SR(x) averages back to x (within std-error) and never moves x by
+    more than one bf16 ulp."""
+    import jax
+    import jax.numpy as jnp
+
+    from procedurevrl_tpu.solver.low_precision import stochastic_round_bf16
+
+    x = jnp.asarray(
+        np.linspace(-3.0, 3.0, 64).astype(np.float32) * 1e-3 + 1.0
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), 512)
+    samples = jax.vmap(lambda k: stochastic_round_bf16(x, k))(keys)
+    mean = np.asarray(jnp.mean(samples.astype(jnp.float32), axis=0))
+    # exact bf16 neighbours: truncation (round-toward-zero) and one ulp up
+    bits = np.asarray(x).view(np.uint32)
+    lo = (bits & np.uint32(0xFFFF0000)).view(np.float32)
+    hi = ((bits & np.uint32(0xFFFF0000)) + np.uint32(0x10000)).view(np.float32)
+    ulp = np.abs(hi - lo)
+    np.testing.assert_allclose(mean, np.asarray(x), atol=float(ulp.max()) / 4)
+    # every sample is one of the two bf16 neighbours
+    s32 = np.asarray(samples.astype(jnp.float32))
+    assert np.all((s32 == lo[None, :]) | (s32 == hi[None, :]))
+
+
+def test_adam_lp_tracks_fp32_adam():
+    """bf16-moment Adam follows fp32 Adam on a least-squares problem, and
+    the second moment does NOT freeze (the failure mode of round-to-nearest
+    bf16 storage, whose per-step v increment is below the bf16 ulp)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from procedurevrl_tpu.solver.low_precision import scale_by_adam_lp
+
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    loss = lambda w: jnp.mean((A @ w - b) ** 2)
+    grad = jax.jit(jax.grad(loss))
+
+    def run(tx, steps=300):
+        w = jnp.zeros((8,), jnp.float32)
+        s = tx.init(w)
+        upd = jax.jit(tx.update)
+        for _ in range(steps):
+            u, s = upd(grad(w), s)
+            w = w + (-1e-2) * u
+        return w, s
+
+    w32, _ = run(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    wlp, slp = run(scale_by_adam_lp(b1=0.9, b2=0.999, eps=1e-8, seed=0))
+    assert slp.mu.dtype == jnp.bfloat16 and slp.nu.dtype == jnp.bfloat16
+    assert float(loss(wlp)) < 1.2 * float(loss(w32)) + 1e-4
+    np.testing.assert_allclose(np.asarray(wlp), np.asarray(w32), atol=0.05)
+
+    # v-freeze check: tiny constant gradient whose v-increment is far below
+    # the bf16 ulp of the steady-state v must still accumulate toward the
+    # fp32 EMA value in expectation.
+    tx = scale_by_adam_lp(b1=0.9, b2=0.999, eps=1e-8, seed=1)
+    w = jnp.ones((128,), jnp.float32)
+    s = tx.init(w)
+    g = jnp.full((128,), 1e-3, jnp.float32)
+    upd = jax.jit(tx.update)
+    for _ in range(2000):
+        _, s = upd(g, s)
+    v_expect = (1.0 - 0.999 ** 2000) * 1e-6  # fp32 EMA of g^2
+    v_mean = float(jnp.mean(s.nu.astype(jnp.float32)))
+    assert abs(v_mean - v_expect) < 0.05 * v_expect, (v_mean, v_expect)

@@ -117,22 +117,35 @@ def summarize(trace_dir: str, top: int = 35) -> None:
             continue
         print(f"== plane {plane.name}: XLA op self-time total "
               f"{total / 1e3:.2f} ms over trace ==")
-        # bucket by coarse category from the op name
+        # bucket by the op's OPCODE (the word between the result shape and
+        # its operand list), NOT substring over the whole op string — an
+        # op's operand list names its producers (e.g. a fusion consuming
+        # %custom-call.N), which a substring match misattributes
+        import re
+
+        def opcode_of(name: str) -> str:
+            head, _, body = name.partition(" = ")
+            m = re.search(r"[\)\}] ([a-zA-Z][\w\-.]*)\(", body)
+            if m:
+                return m.group(1).lower()
+            # fall back to the head's op label ("%fusion.1734" -> fusion)
+            return head.lstrip("%").split(".")[0].lower()
+
         cats = defaultdict(float)
         for name, dur in by_name.items():
-            n = name.lower()
-            if "custom-call" in n or "tpu_custom_call" in n:
+            op = opcode_of(name)
+            n = name.split(" = ")[0].lower()
+            if "custom-call" in op or "custom-call" in n:
                 cat = "pallas kernels"
-            elif n.startswith(("fusion", "loop_fusion", "input_fusion",
-                               "output_fusion")) or ".fusion" in n:
+            elif "fusion" in op:
                 cat = "fusions"
-            elif "convolution" in n or "dot" in n:
+            elif "convolution" in op or op.startswith("dot"):
                 cat = "matmul/conv"
-            elif "copy" in n or "transpose" in n or "bitcast" in n:
+            elif "copy" in op or "transpose" in op or "bitcast" in op:
                 cat = "copies/relayout"
-            elif "all-reduce" in n or "all-gather" in n:
+            elif "all-reduce" in op or "all-gather" in op:
                 cat = "collectives"
-            elif "dynamic" in n:
+            elif "dynamic" in op:
                 cat = "dynamic slice/update"
             else:
                 cat = "other"
