@@ -15,8 +15,17 @@ softmax over keys in float32, output projection.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _min_fused_len() -> int:
+    """Sequence-length floor for the fused Pallas path (short sequences
+    lose to XLA).  PALLAS_MIN_LEN overrides — the multi-chip dryrun sets
+    it to engage the kernels (interpret mode) at toy shapes."""
+    return int(os.environ.get("PALLAS_MIN_LEN", "128"))
 
 
 def attention_core(
@@ -136,7 +145,7 @@ def mhsa_cls(
     head_dim = c // num_heads
     if (
         use_pallas
-        and 128 <= x.shape[1] <= MAX_FUSED_LEN
+        and _min_fused_len() <= x.shape[1] <= MAX_FUSED_LEN
         and _heads_per_block(head_dim, num_heads) > 0
     ):
         q, k, v = _qkv_project(x, qkv_w, qkv_b)
@@ -167,18 +176,19 @@ def mhsa_temporal(
     """Self-attention over axis 1 of the time-major stream [B, T, N, C].
 
     The Pallas path consumes the qkv projection output in its native layout
-    (no [B*N, T, C] transposes, no HBM logits); the default XLA path
-    transposes and runs ``mhsa_xla`` (two explicit relayouts, measured
-    cheaper than axis einsums).  The kernel is OPT-IN
-    (``TEMPORAL_PALLAS=1``): on v5e the full train step measured 52.2
-    clips/sec/chip with the kernel vs 53.3 with the XLA path — the T=8
-    per-(t,s) lane reduces don't beat XLA's fused relayouts yet.
+    (no [B*N, T, C] transposes, no head-split copies, no HBM logits) and
+    computes the T x T attention with structured 0/1 MXU matmuls
+    (ops/pallas_attention temporal v2).  Default ON: the v2 kernel measured
+    62.4 clips/sec/chip on the v5e train step vs 56.9 for the XLA relayout
+    path (the v1 VPU-lane-reduce kernel had measured 53.2 and was opt-in).
+    ``TEMPORAL_PALLAS=0`` forces the XLA fallback (one explicit (T, N)
+    transpose each way).
     """
     import os
 
     b, t, n, c = x.shape
     head_dim = c // num_heads
-    if use_pallas and os.environ.get("TEMPORAL_PALLAS") == "1":
+    if use_pallas and os.environ.get("TEMPORAL_PALLAS", "1") != "0":
         from procedurevrl_tpu.ops.pallas_attention import (
             MAX_TEMPORAL_T, _temporal_hpb, flash_attention_temporal,
         )
@@ -233,7 +243,7 @@ def mhsa(
         use_pallas
         and key_padding_mask is None
         and not causal
-        and 128 <= x.shape[1] <= MAX_FUSED_LEN
+        and _min_fused_len() <= x.shape[1] <= MAX_FUSED_LEN
         and _heads_per_block(x.shape[-1] // num_heads, num_heads) > 0
     ):
         c = x.shape[-1]

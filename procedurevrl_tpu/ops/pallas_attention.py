@@ -229,6 +229,22 @@ def _flash_bwd(q, k, v, g, num_heads: int, scale: float):
     return dq, dk, dv
 
 
+# partition-aware variants: under a multi-device mesh the kernels shard
+# over batch (data axis) and whole head groups (model axis) instead of
+# forcing an all-gather around an opaque custom call (ops/pallas_partition)
+from procedurevrl_tpu.ops.pallas_partition import _wrap, partition_aware
+
+_flash_fwd_sharded = partition_aware(_flash_fwd, _wrap(
+    _flash_fwd, n_tensors=3, static_argnums=(3, 4),
+    rule="b n c, b n c, b n c -> b n c", need_replication=("n",),
+))
+_flash_bwd_sharded = partition_aware(_flash_bwd, _wrap(
+    _flash_bwd, n_tensors=4, static_argnums=(4, 5),
+    rule="b n c, b n c, b n c, b n c -> b n c, b n c, b n c",
+    need_replication=("n",),
+))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention_headfused(q, k, v, num_heads, scale):
     """Exact softmax attention on head-interleaved tensors.
@@ -236,16 +252,16 @@ def flash_attention_headfused(q, k, v, num_heads, scale):
     q, k, v: [B, N, H*d] (d-sized column block per head). Returns the same
     layout.
     """
-    return _flash_fwd(q, k, v, num_heads, scale)
+    return _flash_fwd_sharded(q, k, v, num_heads, scale)
 
 
 def _fa_fwd(q, k, v, num_heads, scale):
-    return _flash_fwd(q, k, v, num_heads, scale), (q, k, v)
+    return _flash_fwd_sharded(q, k, v, num_heads, scale), (q, k, v)
 
 
 def _fa_bwd(num_heads, scale, res, g):
     q, k, v = res
-    return _flash_bwd(q, k, v, g, num_heads, scale)
+    return _flash_bwd_sharded(q, k, v, g, num_heads, scale)
 
 
 flash_attention_headfused.defvjp(_fa_fwd, _fa_bwd)
@@ -390,6 +406,19 @@ def _flash_cls_bwd(q, k, v, qc, kc, vc, g, gc, num_heads: int, scale: float):
     )(q, k, v, qc, kc, vc, g, gc)
 
 
+_flash_cls_fwd_sharded = partition_aware(_flash_cls_fwd, _wrap(
+    _flash_cls_fwd, n_tensors=6, static_argnums=(6, 7),
+    rule=("b n c, b n c, b n c, b u c, b u c, b u c -> b n c, b u c"),
+    need_replication=("n", "u"),
+))
+_flash_cls_bwd_sharded = partition_aware(_flash_cls_bwd, _wrap(
+    _flash_cls_bwd, n_tensors=8, static_argnums=(8, 9),
+    rule=("b n c, b n c, b n c, b u c, b u c, b u c, b n c, b u c -> "
+          "b n c, b n c, b n c, b u c, b u c, b u c"),
+    need_replication=("n", "u"),
+))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def flash_attention_cls(q, k, v, qc, kc, vc, num_heads, scale):
     """Exact softmax attention with a split CLS stream.
@@ -400,11 +429,11 @@ def flash_attention_cls(q, k, v, qc, kc, vc, num_heads, scale):
     q, k, v: [B, N, H*d]; qc, kc, vc: [B, 1, H*d].
     Returns (frame_out [B, N, H*d], cls_out [B, 1, H*d]).
     """
-    return _flash_cls_fwd(q, k, v, qc, kc, vc, num_heads, scale)
+    return _flash_cls_fwd_sharded(q, k, v, qc, kc, vc, num_heads, scale)
 
 
 def _fac_fwd(q, k, v, qc, kc, vc, num_heads, scale):
-    return _flash_cls_fwd(q, k, v, qc, kc, vc, num_heads, scale), (
+    return _flash_cls_fwd_sharded(q, k, v, qc, kc, vc, num_heads, scale), (
         q, k, v, qc, kc, vc,
     )
 
@@ -412,101 +441,179 @@ def _fac_fwd(q, k, v, qc, kc, vc, num_heads, scale):
 def _fac_bwd(num_heads, scale, res, gs):
     q, k, v, qc, kc, vc = res
     g, gc = gs
-    return _flash_cls_bwd(q, k, v, qc, kc, vc, g, gc, num_heads, scale)
+    return _flash_cls_bwd_sharded(q, k, v, qc, kc, vc, g, gc, num_heads, scale)
 
 
 flash_attention_cls.defvjp(_fac_fwd, _fac_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Temporal attention on the time-major stream, layout-native.
+# Temporal attention on the time-major stream, layout-native (v2).
 #
 # The divided temporal pass attends over T (tiny, 8) for each of B*N patch
-# positions.  The XLA path pays two full-stream [B*N, T, C] relayouts plus
-# fp32 [B*N, H, T, T] logits traffic per block — v5e traces show the family
-# at ~28% of the train step for ~1 GFLOP of math.  This kernel reads the
-# qkv-projected stream in its native [B, T, N, 3C] layout (grid over
-# (batch, head-group) with whole-(T, N) blocks; q/k/v are the same array
-# bound three times with shifted lane-block index maps) and computes the
-# T x T attention as VPU broadcast-multiply-reduces — no transposes, no HBM
-# logits.
+# positions.  The XLA path pays the full [B*N, T, C] relayout + head-split
+# copies plus fp32 [B*N, H, T, T] logits traffic per block — v5e traces
+# show the family at ~30% of the train step for ~1 GFLOP of attention math
+# (the batched [T, d] x [d, T] matmuls starve the MXU at ~1-2% utilization).
+#
+# This kernel reads the qkv-projected stream in its native [B, T, N, 3C]
+# layout (grid over (batch, n-tile, head-group); q/k/v are the same array
+# bound three times with shifted lane-block index maps) and keeps the MXU
+# busy with *structured 0/1 matmuls* instead of tiny batched ones:
+#
+# - logits, COMPACT: L_t[n, s*hpb + j] = sum_d q[t,n,(j,d)] k[s,n,(j,d)]
+#   via dot(q_t * k_s, E_s) where E_s [w, 128] is a constant expander with
+#   ones mapping head-j lanes onto column s*hpb+j (one [nt,w]x[w,128] MXU
+#   dot per (t, s) pair instead of B*N tiny [T,d]x[d,T] matmuls);
+# - softmax, COMPACT: one full-row max (a row-constant shift is exact for
+#   softmax), one exp over [nt, 128] per t (vs T*T broadcast exps), and the
+#   per-head denominator via dot with a constant head-indicator SumMat;
+# - P V and the backward broadcasts go back through dot(P_t, B_s) (B_s =
+#   E_s^T) — probabilities are cast to the value dtype before the multiply,
+#   matching the reference semantics (lib/models/vit.py:88-90).
+#
+# The v1 formulation (per-(t,s) VPU cross-lane reduces + T*T broadcast
+# exps) measured 53.2 clips/sec end-to-end vs 56.9 for the XLA relayout
+# path; this MXU form replaces ~64 lane reductions + 64 exp sheets per
+# (t-loop) with ~17 structured dots and 8 exps.
 # ---------------------------------------------------------------------------
 
 
-def _temporal_probs(q, k, scale: float):
-    """fp32 probs as a T x S grid of [N, 1] lane-reduced columns.
+def _temporal_consts(T: int, d: int, hpb: int, dt):
+    """Constant 0/1 matrices for the compact temporal attention.
 
-    q, k: [T, N, d] with N in sublanes.  Every intermediate keeps N in
-    sublanes with a broadcast/1-lane minor dim — the [T, S, N] formulation
-    needs an N lanes<->sublanes relayout that Mosaic rejects, and the
-    batched-dot [N, T, S] variant (in-register transpose + batched MXU dot)
-    measured slower end-to-end (51.0 vs 52.2 clips/sec/chip).
+    E[s] [w, 128]: lane r (head j = r // d) -> compact column s*hpb + j.
+    B[s] = E[s]^T [128, w]: compact column back to head-j lanes.
+    SumMat [128, 128]: compact (s, j) -> sum over s for head j, replicated
+    into every (s', j) column; only real columns (< T*hpb) contribute.
     """
-    T = q.shape[0]
-    logits = [
-        [
-            jnp.sum(q[t] * k[s], axis=-1, keepdims=True,
-                    dtype=jnp.float32) * scale  # [N, 1] fp32
-            for s in range(T)
-        ]
-        for t in range(T)
-    ]
+    w = d * hpb
+    used = T * hpb
+    rows_j = jax.lax.broadcasted_iota(jnp.int32, (w, 128), 0) // d
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w, 128), 1)
+    E = [(cols == s * hpb + rows_j).astype(dt) for s in range(T)]
+    colsT = jax.lax.broadcasted_iota(jnp.int32, (128, w), 0)
+    rows_jT = jax.lax.broadcasted_iota(jnp.int32, (128, w), 1) // d
+    B = [(colsT == s * hpb + rows_jT).astype(dt) for s in range(T)]
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    co = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    summat = jnp.logical_and(ci % hpb == co % hpb, ci < used).astype(dt)
+    return E, B, summat
+
+
+def _temporal_compact_probs(q, k, E, summat, scale: float, T: int,
+                            hpb: int):
+    """Compact fp32 probabilities P_t [nt, 128] for every t.
+
+    q, k: [T, nt, w].  Column s*hpb + j of P_t holds p[t, s] for head j;
+    columns >= T*hpb are zero."""
+    used = T * hpb
+    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[1], 128), 1)
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
     probs = []
     for t in range(T):
-        m = logits[t][0]
-        for s in range(1, T):
-            m = jnp.maximum(m, logits[t][s])
-        e = [jnp.exp(logits[t][s] - m) for s in range(T)]
-        denom = sum(e[1:], e[0])
-        probs.append([ei / denom for ei in e])
-    return probs  # probs[t][s]: [N, 1]
+        logit = None
+        for s in range(T):
+            prod = q[t] * k[s]  # input dtype; bf16 product rounding is the
+            # same one XLA's probs.astype(v.dtype) path applies per term
+            part = jax.lax.dot_general(
+                prod, E[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logit = part if logit is None else logit + part
+        logit = jnp.where(col < used, logit * scale, neg)
+        # exact per-head max via cyclic max-doubling over the lane classes
+        # c = j (mod hpb): 6 roll+max steps cover all 128/hpb class members
+        # (the class mixes the head's real s columns with masked ones, so
+        # every column - including masked - lands on its head's real max)
+        m = logit
+        shift = hpb
+        while shift < 128:
+            m = jnp.maximum(m, pltpu.roll(m, shift, 1))
+            shift *= 2
+        e = jnp.exp(logit - m)  # masked cols -> exp(-inf) = 0
+        denom = jax.lax.dot_general(
+            e, summat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        probs.append(e / denom)
+    return probs
 
 
 def _temporal_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int,
                          hpb: int):
     T = q_ref.shape[1]
-    for i in range(hpb):
-        sl = slice(i * d, (i + 1) * d)
-        # inputs stay in their storage dtype (VMEM pressure); the lane
-        # reduces accumulate fp32, matching the MXU einsum semantics
-        q = q_ref[0, :, :, sl]  # [T, N, d]
-        k = k_ref[0, :, :, sl]
-        v = v_ref[0, :, :, sl]
-        p = _temporal_probs(q, k, scale)  # fp32 [N, 1] columns
-        for t in range(T):
-            o_t = p[t][0] * v[0]  # fp32 x storage -> fp32
-            for s in range(1, T):
-                o_t = o_t + p[t][s] * v[s]
-            o_ref[0, t, :, sl] = o_t.astype(o_ref.dtype)
+    dt = q_ref.dtype
+    E, B, summat = _temporal_consts(T, d, hpb, dt)
+    q = q_ref[0]  # [T, nt, w]
+    k = k_ref[0]
+    v = v_ref[0]
+    probs = _temporal_compact_probs(q, k, E, summat, scale, T, hpb)
+    for t in range(T):
+        p_c = probs[t].astype(dt)  # cast before PV (reference semantics)
+        o_t = None
+        for s in range(T):
+            pb = jax.lax.dot_general(  # broadcast p[t,s] onto head lanes
+                p_c, B[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            term = pb * v[s].astype(jnp.float32)
+            o_t = term if o_t is None else o_t + term
+        o_ref[0, t] = o_t.astype(o_ref.dtype)
 
 
 def _temporal_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                          *, scale: float, d: int, hpb: int):
     T = q_ref.shape[1]
-    for i in range(hpb):
-        sl = slice(i * d, (i + 1) * d)
-        q = q_ref[0, :, :, sl]
-        k = k_ref[0, :, :, sl]
-        v = v_ref[0, :, :, sl]
-        g = g_ref[0, :, :, sl]
-        p = _temporal_probs(q, k, scale)  # p[t][s]: [N, 1] fp32
-        dp = [
-            [jnp.sum(g[t] * v[s], axis=-1, keepdims=True, dtype=jnp.float32)
-             for s in range(T)]
-            for t in range(T)
-        ]
-        ds = []
-        for t in range(T):
-            rowsum = sum(dp[t][s] * p[t][s] for s in range(T))
-            ds.append([p[t][s] * (dp[t][s] - rowsum) for s in range(T)])
-        for t in range(T):
-            dq_t = sum(ds[t][s] * k[s] for s in range(T))
-            dq_ref[0, t, :, sl] = (dq_t * scale).astype(dq_ref.dtype)
+    dt = q_ref.dtype
+    E, B, summat = _temporal_consts(T, d, hpb, dt)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    probs = _temporal_compact_probs(q, k, E, summat, scale, T, hpb)
+    dk_acc = [None] * T
+    dv_acc = [None] * T
+    for t in range(T):
+        p = probs[t]  # [nt, 128] fp32 compact
+        gt = g[t]
+        # dp[t] compact: dot(g_t * v_s, E_s)
+        dp = None
         for s in range(T):
-            dk_s = sum(ds[t][s] * q[t] for t in range(T))
-            dv_s = sum(p[t][s] * g[t] for t in range(T))
-            dk_ref[0, s, :, sl] = (dk_s * scale).astype(dk_ref.dtype)
-            dv_ref[0, s, :, sl] = dv_s.astype(dv_ref.dtype)
+            part = jax.lax.dot_general(
+                gt * v[s], E[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = part if dp is None else dp + part
+        rowsum = jax.lax.dot_general(  # per-head sum_s dp * p, replicated
+            dp * p, summat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - rowsum)).astype(dt)  # matmul operands in input dtype
+        p_c = p.astype(dt)
+        dq_t = None
+        for s in range(T):
+            bds = jax.lax.dot_general(  # ds[t,s] onto head lanes
+                ds, B[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            bp = jax.lax.dot_general(  # p[t,s] onto head lanes
+                p_c, B[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            kf = k[s].astype(jnp.float32)
+            qf = q[t].astype(jnp.float32)
+            gf = gt.astype(jnp.float32)
+            term_q = bds * kf
+            dq_t = term_q if dq_t is None else dq_t + term_q
+            term_k = bds * qf
+            dk_acc[s] = term_k if dk_acc[s] is None else dk_acc[s] + term_k
+            term_v = bp * gf
+            dv_acc[s] = term_v if dv_acc[s] is None else dv_acc[s] + term_v
+        dq_ref[0, t] = (dq_t * scale).astype(dq_ref.dtype)
+    for s in range(T):
+        dk_ref[0, s] = (dk_acc[s] * scale).astype(dk_ref.dtype)
+        dv_ref[0, s] = dv_acc[s].astype(dv_ref.dtype)
 
 
 def _temporal_hpb(d: int, num_heads: int, nrefs: int = 4, T: int = 8,
@@ -597,6 +704,18 @@ def _temporal_bwd(qkv, g, num_heads: int, scale: float):
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
+_temporal_fwd_sharded = partition_aware(_temporal_fwd, _wrap(
+    _temporal_fwd, n_tensors=1, static_argnums=(1, 2),
+    rule="b t n ci -> b t n co",
+    need_replication=("t", "n", "ci", "co"), shard_c=False, rank=4,
+))
+_temporal_bwd_sharded = partition_aware(_temporal_bwd, _wrap(
+    _temporal_bwd, n_tensors=2, static_argnums=(2, 3),
+    rule="b t n ci, b t n co -> b t n ci",
+    need_replication=("t", "n", "ci", "co"), shard_c=False, rank=4,
+))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def flash_attention_temporal(qkv, num_heads, scale):
     """Temporal self-attention over axis 1 of the time-major stream.
@@ -606,16 +725,16 @@ def flash_attention_temporal(qkv, num_heads, scale):
     Attention runs over T independently per (B, N) position.  Returns
     [B, T, N, C].
     """
-    return _temporal_fwd(qkv, num_heads, scale)
+    return _temporal_fwd_sharded(qkv, num_heads, scale)
 
 
 def _fat_fwd(qkv, num_heads, scale):
-    return _temporal_fwd(qkv, num_heads, scale), (qkv,)
+    return _temporal_fwd_sharded(qkv, num_heads, scale), (qkv,)
 
 
 def _fat_bwd(num_heads, scale, res, g):
     (qkv,) = res
-    return (_temporal_bwd(qkv, g, num_heads, scale),)
+    return (_temporal_bwd_sharded(qkv, g, num_heads, scale),)
 
 
 flash_attention_temporal.defvjp(_fat_fwd, _fat_bwd)

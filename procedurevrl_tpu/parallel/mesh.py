@@ -171,9 +171,9 @@ def tp_param_shardings(params, mesh: Mesh):
     block over the ``model`` axis — the standard Megatron-LM decomposition
     (arXiv:1909.08053) with zero hand-written collectives.  The reference
     has no TP (DDP replicates everything); this is a TPU extension for
-    models that outgrow one chip.  Note: the Pallas attention kernels are
-    not partition-aware; run the XLA attention path
-    (``TPU.USE_PALLAS_ATTENTION False``) when ``model > 1``.
+    models that outgrow one chip.  The Pallas attention kernels are
+    partition-aware (``ops/pallas_partition``): under ``model > 1`` each
+    shard runs the kernel on its own head group.
     """
     rep = replicated(mesh)
     col = NamedSharding(mesh, P(None, MODEL_AXIS))  # [in, out-sharded]

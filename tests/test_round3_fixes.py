@@ -179,3 +179,50 @@ def test_grad_accum_composes_with_zero1(tmp_path):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), atol=2e-5, rtol=2e-5
         )
+
+
+def test_flash_kernels_partition_under_tp_mesh():
+    """flash_attention_headfused / flash_attention_cls run sharded over a
+    (data x model) mesh via custom_partitioning — batch over data, head
+    groups over model — and match the unsharded result, fwd and grad
+    (VERDICT round-2 item 3)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from procedurevrl_tpu.ops.pallas_attention import (
+        flash_attention_cls, flash_attention_headfused,
+    )
+    from procedurevrl_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh(data=4, model=2)
+    rng = np.random.RandomState(0)
+    B, N, H, d = 8, 196, 12, 64
+    C = H * d
+    q, k, v = (jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+               for _ in range(3))
+    qc, kc, vc = (jnp.asarray(rng.randn(B, 1, C).astype(np.float32))
+                  for _ in range(3))
+    scale = d ** -0.5
+    shard = NamedSharding(mesh, P("data", None, "model"))
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention_headfused(q, k, v, H, scale)))
+
+    base = jax.jit(jax.value_and_grad(loss))(q, k, v)
+    with mesh:
+        qs, ks, vs = (jax.device_put(t, shard) for t in (q, k, v))
+        sharded = jax.jit(jax.value_and_grad(loss))(qs, ks, vs)
+    np.testing.assert_allclose(float(base[0]), float(sharded[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(base[1]), np.asarray(sharded[1]),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_cls(q, k, v, qc, kc, vc):
+        o, oc = flash_attention_cls(q, k, v, qc, kc, vc, H, scale)
+        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.sin(oc))
+
+    base_c = jax.jit(loss_cls)(q, k, v, qc, kc, vc)
+    with mesh:
+        args_s = [jax.device_put(t, shard) for t in (q, k, v, qc, kc, vc)]
+        shard_c = jax.jit(loss_cls)(*args_s)
+    np.testing.assert_allclose(float(base_c), float(shard_c), rtol=1e-5)

@@ -287,13 +287,11 @@ def train(cfg):
         )
     if cfg.TPU.MESH_MODEL > 1:
         # Megatron-style tensor parallelism over the `model` axis
-        # (parallel/mesh.py:tp_state_shardings); run the XLA attention
-        # path — the Pallas kernels are not partition-aware
+        # (parallel/mesh.py:tp_state_shardings). The Pallas attention
+        # kernels are partition-aware (ops/pallas_partition): they run on
+        # each model shard's own head group, no gather.
         from procedurevrl_tpu.parallel.mesh import tp_state_shardings
 
-        assert not cfg.TPU.USE_PALLAS_ATTENTION, (
-            "TPU.MESH_MODEL > 1 requires TPU.USE_PALLAS_ATTENTION False"
-        )
         state_sharding = tp_state_shardings(state, mesh)
     elif cfg.TPU.SHARD_OPT_STATE:
         # ZeRO-1: AdamW moments partitioned over the data axis
