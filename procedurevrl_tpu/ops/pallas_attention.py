@@ -633,10 +633,12 @@ MAX_TEMPORAL_T = 16
 
 
 def _temporal_nt(n: int) -> int:
-    """N rows per grid step.  The unrolled T x T expression tree holds many
-    live [nt, w] fp32 temporaries; ~90 KB/row measured at w=128, so cap the
-    tile so the Mosaic stack stays well under the 16 MB VMEM limit."""
-    if n <= 128:
+    """N rows per grid step.  A single whole-N tile avoids the padding tax
+    of splitting (196 -> 2x128 tiles processed 256 padded rows; one
+    196-row tile is ~18% less row work).  The v2 kernel's live set per t
+    is ~10 [nt, 128] fp32 sheets (~1 MB at nt=256), safe on the Mosaic
+    stack; fall back to 128-row tiles for very long N."""
+    if n <= 256:
         return n
     return 128
 
