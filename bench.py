@@ -151,14 +151,21 @@ def main():
     # RNG-dependent branches (mask indices, recognition subset) differ;
     # donation keeps executions distinct through the caching tunnel
     n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-
+    repeats = int(_os.environ.get("BENCH_REPEATS", "1"))
     n_chips = jax.device_count()
-    clips_per_sec_chip = B * M * n_steps / dt / n_chips
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = step(state, batch, key)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        samples.append(B * M * n_steps / dt / n_chips)
+    clips_per_sec_chip = float(np.mean(samples))
+    if repeats > 1:
+        note("samples clips/sec/chip: "
+             + ", ".join(f"{s:.2f}" for s in samples)
+             + f"  (mean {clips_per_sec_chip:.2f} +- {np.std(samples):.2f})")
 
     if bench_model == "mvit":
         # exact encoder fwd FLOPs from the compiler's cost analysis

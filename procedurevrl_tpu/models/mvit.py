@@ -223,30 +223,43 @@ def _avg_pool_3d(x: jax.Array, kernel, stride, padding) -> jax.Array:
 
 class DepthwisePool3D(nn.Module):
     """The 'conv' pooling mode: depthwise 3-D conv over head channels,
-    shared across heads (reference ``attention.py:236-276``)."""
+    shared across heads (reference ``attention.py:236-276``).
+
+    With ``heads > 1`` the conv runs on the full head-LAST channel axis
+    (``C = heads * head_dim``) by tiling the per-head weights at apply
+    time: the parameter keeps the reference ``[k, 1, head_dim]`` shape
+    (checkpoint-compatible), the tile replays the reference's
+    weight-sharing across heads, and the tile's VJP sums the per-head
+    gradients exactly as applying one conv per head would.  This keeps
+    pooling on ``[B, T, H, W, C]`` (batch B, 75%+ lane utilization)
+    instead of ``[B*heads, T, H, W, head_dim]`` micro-convs."""
 
     head_dim: int
     kernel: Tuple[int, int, int]
     stride: Tuple[int, int, int]
     dtype: jnp.dtype = jnp.float32
+    heads: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x: [G, T, H, W, hd] -> pooled [G, T', H', W', hd]."""
+        """x: [G, T, H, W, heads*hd] -> pooled [G, T', H', W', heads*hd]."""
         w = self.param(
             "kernel", trunc_normal_init(0.02),
             tuple(self.kernel) + (1, self.head_dim), jnp.float32,
         )
+        w = w.astype(self.dtype)
+        if self.heads > 1:
+            w = jnp.tile(w, (1, 1, 1, 1, self.heads))
         pads = tuple((k // 2, k // 2) for k in self.kernel)
         # no preferred_element_type: a fp32-widened output makes the conv
         # VJP a mixed-dtype conv (fp32 cotangent x bf16 kernel), which
         # lax.conv rejects; TPU convs accumulate fp32 internally anyway
         return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype),
+            x.astype(self.dtype), w,
             window_strides=tuple(self.stride),
             padding=pads,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            feature_group_count=self.head_dim,
+            feature_group_count=self.head_dim * self.heads,
         )
 
 
@@ -383,91 +396,107 @@ class MultiScaleAttention(nn.Module):
     use_pallas: bool = False
 
     def _pool(self, name: str, x, thw, kernel, stride, with_norm=True):
-        """attention_pool (reference ``attention.py:14-48``): x [B, H, L, d];
-        returns pooled x + new static thw."""
+        """attention_pool (reference ``attention.py:14-48``) in head-LAST
+        layout: x [B, L, heads*d]; returns pooled x + new static thw.
+
+        The depthwise conv runs once on the full channel axis with
+        head-tiled weights (see ``DepthwisePool3D``); the per-head
+        LayerNorm keeps its reference ``[head_dim]`` parameters by
+        normalizing a free [..., heads, d] reshape view."""
         if not kernel or (np.prod(kernel) == 1 and np.prod(stride) == 1):
             return x, thw
-        B, H, L, d = x.shape
+        B, L, C = x.shape
+        heads = self.num_heads
+        d = C // heads
         cls_tok = None
         if self.has_cls_embed:
-            cls_tok, x = x[:, :, :1, :], x[:, :, 1:, :]
+            cls_tok, x = x[:, :1, :], x[:, 1:, :]
         T, Hh, W = thw
-        grid = x.reshape(B * H, T, Hh, W, d)
+        grid = x.reshape(B, T, Hh, W, C)
         if self.mode == "conv":
             grid = DepthwisePool3D(d, kernel, stride, self.dtype,
-                                   name=f"pool_{name}")(grid)
+                                   heads=heads, name=f"pool_{name}")(grid)
         elif self.mode == "max":
             grid = _max_pool_3d(grid, kernel, stride, [k // 2 for k in kernel])
         else:
             grid = _avg_pool_3d(grid, kernel, stride, [k // 2 for k in kernel])
         new_thw = _pooled_thw(thw, kernel, stride)
-        x = grid.reshape(B, H, int(np.prod(new_thw)), d)
+        x = grid.reshape(B, int(np.prod(new_thw)), C)
         if cls_tok is not None:
-            x = jnp.concatenate([cls_tok, x], axis=2)
+            x = jnp.concatenate([cls_tok, x], axis=1)
         if self.mode == "conv" and with_norm:
-            x = LayerNormFp32(eps=1e-6, name=f"norm_{name}")(x)
+            L2 = x.shape[1]
+            x = LayerNormFp32(eps=1e-6, name=f"norm_{name}")(
+                x.reshape(B, L2, heads, d)
+            ).reshape(B, L2, C)
         return x, new_thw
 
     def _fused_attention(self, q, k, v, q_shape, k_shape,
                          rel_pos_h, rel_pos_w, rel_pos_t, scale):
-        """Flash pooled attention (see ``ops/pallas_mvit_attention``): the
-        [B, H, qN, kN] logits never hit HBM; rel-pos bias is decomposed into
-        three small [.., qN, k_*] tables computed here and expanded in-tile.
-        The single cls query row stays in plain XLA."""
+        """Flash pooled attention, head-LAST (see
+        ``ops/pallas_mvit_attention.flash_attention_mvit_hl``): the
+        [B, H, qN, kN] logits never hit HBM; rel-pos bias is decomposed
+        into three small per-head [.., qN, H*k_*] tables computed here and
+        expanded in-tile.  The single cls query row stays in plain XLA."""
         from procedurevrl_tpu.ops.pallas_mvit_attention import (
-            flash_attention_mvit,
+            flash_attention_mvit_hl,
         )
 
-        B, H, _, d = q.shape
+        B, _, C = q.shape
+        H = self.num_heads
+        d = C // H
         q_t, q_h, q_w = q_shape
         k_t, k_h, k_w = k_shape
-        qc, qb = q[:, :, :1], q[:, :, 1:]
-        kc, kb = k[:, :, :1], k[:, :, 1:]
-        vc, vb = v[:, :, :1], v[:, :, 1:]
+        qc, qb = q[:, :1], q[:, 1:]
+        kc, kb = k[:, :1], k[:, 1:]
+        vc, vb = v[:, :1], v[:, 1:]
         Rh = _interp_rel_pos(rel_pos_h, int(2 * max(q_h, k_h) - 1))[
             jnp.asarray(_rel_dist_table(q_h, k_h))]
         Rw = _interp_rel_pos(rel_pos_w, int(2 * max(q_w, k_w) - 1))[
             jnp.asarray(_rel_dist_table(q_w, k_w))]
         Rt = _interp_rel_pos(rel_pos_t, int(2 * max(q_t, k_t) - 1))[
             jnp.asarray(_rel_dist_table(q_t, k_t))]
-        r_q = qb.reshape(B, H, q_t, q_h, q_w, d)
-        rel_h = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
-        rel_w = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
-        rel_t = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
         qn = q_t * q_h * q_w
-        fold = lambda x, n: x.reshape(B * H, n, x.shape[-1])
-        out_body = flash_attention_mvit(
-            fold(qb, qn), fold(kb, kb.shape[2]), fold(vb, vb.shape[2]),
-            fold(kc, 1), fold(vc, 1),
-            fold(rel_t.astype(jnp.float32).reshape(B, H, qn, k_t), qn),
-            fold(rel_h.astype(jnp.float32).reshape(B, H, qn, k_h), qn),
-            fold(rel_w.astype(jnp.float32).reshape(B, H, qn, k_w), qn),
-            (k_t, k_h, k_w), float(scale),
-        ).reshape(B, H, qn, d)
+        r_q = qb.reshape(B, q_t, q_h, q_w, H, d)
+        rel_h = jnp.einsum("bthwyc,hkc->bthwyk", r_q, Rh.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+        rel_w = jnp.einsum("bthwyc,wkc->bthwyk", r_q, Rw.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+        rel_t = jnp.einsum("bthwyc,tkc->bthwyk", r_q, Rt.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+        pack = lambda r, kk: r.astype(jnp.float32).reshape(B, qn, H * kk)
+        out_body = flash_attention_mvit_hl(
+            qb, kb, vb, kc, vc,
+            pack(rel_t, k_t), pack(rel_h, k_h), pack(rel_w, k_w),
+            (k_t, k_h, k_w), H, float(scale),
+        )
         # cls query: one row over the full (cls-first) key set, no rel bias
-        lc = jnp.einsum("bhqd,bhkd->bhqk", qc * scale, k,
+        qc5 = qc.reshape(B, 1, H, d)
+        k5 = k.reshape(B, k.shape[1], H, d)
+        v5 = v.reshape(B, v.shape[1], H, d)
+        lc = jnp.einsum("bqyd,bkyd->byqk", qc5 * scale, k5,
                         preferred_element_type=jnp.float32)
         out_c = jnp.einsum(
-            "bhqk,bhkd->bhqd", jax.nn.softmax(lc, axis=-1).astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        return jnp.concatenate([out_c, out_body], axis=2)
+            "byqk,bkyd->bqyd", jax.nn.softmax(lc, axis=-1).astype(v.dtype),
+            v5, preferred_element_type=jnp.float32,
+        ).astype(v.dtype).reshape(B, 1, C)
+        return jnp.concatenate([out_c, out_body], axis=1)
 
     @nn.compact
     def __call__(self, x: jax.Array, thw: Tuple[int, int, int]):
         B, N, _ = x.shape
-        head_dim = self.dim_out // self.num_heads
+        H = self.num_heads
+        head_dim = self.dim_out // H
         scale = head_dim ** -0.5
 
+        # head-LAST throughout: q/k/v stay [B, L, H*d] from the qkv Dense
+        # to the output projection — no [B, N, 3, H, d] -> [3, B, H, N, d]
+        # transpose, no per-head pooling grids, no merge-heads transpose
+        # (those relayouts measured ~28% of the MViT step on v5e)
         qkv = nn.Dense(3 * self.dim_out, use_bias=self.qkv_bias,
                        dtype=self.dtype, kernel_init=trunc_normal_init(0.02),
                        name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, H, N, d]
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # [B, N, C]
 
         q, q_shape = self._pool("q", q, thw, self.kernel_q, self.stride_q)
         k, k_shape = self._pool("k", k, thw, self.kernel_kv, self.stride_kv)
@@ -507,39 +536,42 @@ class MultiScaleAttention(nn.Module):
             out = self._fused_attention(
                 q, k, v, q_shape, k_shape,
                 rel_pos_h, rel_pos_w, rel_pos_t, scale,
-            )
+            )  # [B, qN, C]
         else:
+            # XLA fallback (tiny q / huge k / no rel-pos): head-split views
+            # only at this boundary
+            split = lambda t: t.reshape(
+                B, t.shape[1], H, head_dim).transpose(0, 2, 1, 3)
+            qh, kh, vh = split(q), split(k), split(v)
             attn = jnp.einsum(
-                "bhqd,bhkd->bhqk", q * scale, k,
+                "bhqd,bhkd->bhqk", qh * scale, kh,
                 preferred_element_type=jnp.float32,
             )
             if self.rel_pos_spatial:
                 attn = add_rel_pos_spatial(
-                    attn, q, self.has_cls_embed, q_shape, k_shape,
+                    attn, qh, self.has_cls_embed, q_shape, k_shape,
                     rel_pos_h, rel_pos_w,
                 )
             if self.rel_pos_temporal:
                 attn = add_rel_pos_temporal(
-                    attn, q, self.has_cls_embed, q_shape, k_shape, rel_pos_t
+                    attn, qh, self.has_cls_embed, q_shape, k_shape, rel_pos_t
                 )
             attn = jax.nn.softmax(attn, axis=-1)
 
             out = jnp.einsum(
-                "bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                "bhqk,bhkd->bqhd", attn.astype(vh.dtype), vh,
                 preferred_element_type=jnp.float32,
-            ).astype(v.dtype)
+            ).astype(vh.dtype).reshape(B, qh.shape[2], H * head_dim)
 
         if self.residual_pooling:
-            # residual Q connection (reference :431-435)
+            # residual Q connection (reference :431-435), head-last
             if self.has_cls_embed:
                 out = jnp.concatenate(
-                    [out[:, :, :1, :], out[:, :, 1:, :] + q[:, :, 1:, :]], axis=2
+                    [out[:, :1, :], out[:, 1:, :] + q[:, 1:, :]], axis=1
                 )
             else:
                 out = out + q
 
-        qN = out.shape[2]
-        out = out.transpose(0, 2, 1, 3).reshape(B, qN, self.dim_out)
         out = nn.Dense(self.dim_out, dtype=self.dtype,
                        kernel_init=trunc_normal_init(0.02), name="proj")(out)
         return out, q_shape

@@ -190,12 +190,12 @@ def mhsa_temporal(
     head_dim = c // num_heads
     if use_pallas and os.environ.get("TEMPORAL_PALLAS", "1") != "0":
         from procedurevrl_tpu.ops.pallas_attention import (
-            MAX_TEMPORAL_T, _temporal_hpb, flash_attention_temporal,
+            MAX_TEMPORAL_T, _temporal_geometry, flash_attention_temporal,
         )
 
-        if t <= MAX_TEMPORAL_T and _temporal_hpb(
-            head_dim, num_heads, 7, t, n, x.dtype.itemsize
-        ) > 0:
+        if t <= MAX_TEMPORAL_T and _temporal_geometry(
+            n, c, head_dim, num_heads, t, x.dtype.itemsize
+        )[0] > 0:
             qkv = jnp.einsum(
                 "bnc,cd->bnd", x.reshape(b, t * n, c), qkv_w.astype(x.dtype),
                 preferred_element_type=jnp.float32,

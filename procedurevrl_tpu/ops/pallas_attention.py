@@ -540,8 +540,8 @@ def _temporal_compact_probs(q, k, E, summat, scale: float, T: int,
     return probs
 
 
-def _temporal_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int,
-                         hpb: int):
+def _temporal_fwd_kernel(q_ref, k_ref, v_ref, o_ref, p_ref, *, scale: float,
+                         d: int, hpb: int):
     T = q_ref.shape[1]
     dt = q_ref.dtype
     E, B, summat = _temporal_consts(T, d, hpb, dt)
@@ -551,6 +551,10 @@ def _temporal_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int,
     probs = _temporal_compact_probs(q, k, E, summat, scale, T, hpb)
     for t in range(T):
         p_c = probs[t].astype(dt)  # cast before PV (reference semantics)
+        # compact probabilities are a kernel output: the backward reads
+        # them instead of re-running the logits dots + softmax (the saved
+        # tensor is [B, T, N, 128*cgroups] — tiny next to the stream)
+        p_ref[0, t] = p_c
         o_t = None
         for s in range(T):
             pb = jax.lax.dot_general(  # broadcast p[t,s] onto head lanes
@@ -562,8 +566,8 @@ def _temporal_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int,
         o_ref[0, t] = o_t.astype(o_ref.dtype)
 
 
-def _temporal_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                         *, scale: float, d: int, hpb: int):
+def _temporal_bwd_kernel(q_ref, k_ref, v_ref, g_ref, p_ref, dq_ref, dk_ref,
+                         dv_ref, *, scale: float, d: int, hpb: int):
     T = q_ref.shape[1]
     dt = q_ref.dtype
     E, B, summat = _temporal_consts(T, d, hpb, dt)
@@ -571,7 +575,7 @@ def _temporal_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     k = k_ref[0]
     v = v_ref[0]
     g = g_ref[0]
-    probs = _temporal_compact_probs(q, k, E, summat, scale, T, hpb)
+    probs = [p_ref[0, t].astype(jnp.float32) for t in range(T)]
     dk_acc = [None] * T
     dv_acc = [None] * T
     for t in range(T):
@@ -616,31 +620,7 @@ def _temporal_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0, s] = dv_acc[s].astype(dv_ref.dtype)
 
 
-def _temporal_hpb(d: int, num_heads: int, nrefs: int = 4, T: int = 8,
-                  n: int = 196, itemsize: int = 2) -> int:
-    """Heads per grid step: widest 128-aligned lane block that divides H
-    and keeps ``nrefs`` double-buffered (1, T, n, d*hpb) blocks in VMEM."""
-    budget = 10 * 2 ** 20
-    for hpb in (8, 4, 2, 1):
-        if num_heads % hpb or (d * hpb) % 128:
-            continue
-        if nrefs * 2 * T * n * d * hpb * itemsize <= budget:
-            return hpb
-    return 0
-
-
 MAX_TEMPORAL_T = 16
-
-
-def _temporal_nt(n: int) -> int:
-    """N rows per grid step.  A single whole-N tile avoids the padding tax
-    of splitting (196 -> 2x128 tiles processed 256 padded rows; one
-    196-row tile is ~18% less row work).  The v2 kernel's live set per t
-    is ~10 [nt, 128] fp32 sheets (~1 MB at nt=256), safe on the Mosaic
-    stack; fall back to 128-row tiles for very long N."""
-    if n <= 256:
-        return n
-    return 128
 
 
 def _temporal_specs(T: int, n: int, nt: int, w: int, c: int):
@@ -655,24 +635,52 @@ def _temporal_specs(T: int, n: int, nt: int, w: int, c: int):
                      memory_space=pltpu.VMEM)
     o = pl.BlockSpec((1, T, nt, wb), lambda b, ni, g: (b, 0, ni, g),
                      memory_space=pltpu.VMEM)
-    return q, k, v, o
+    p = pl.BlockSpec((1, T, nt, 128), lambda b, ni, g: (b, 0, ni, g),
+                     memory_space=pltpu.VMEM)
+    return q, k, v, o, p
+
+
+def _temporal_geometry(n: int, c: int, d: int, num_heads: int, T: int,
+                       itemsize: int):
+    """(hpb, w, nt) shared by forward and backward — the saved compact
+    probs are laid out per head-GROUP, so both directions must agree.
+
+    Preference: the largest n-tile (a single whole-N tile avoids the
+    ragged-split padding tax) with the smallest 128-aligned head group;
+    shrink the tile before giving up.  Budget: 8 double-buffered
+    [1, T, nt, w] blocks (the backward's ref count) within ~10 MB,
+    leaving VMEM room for the 0/1 expander constants and the Mosaic
+    stack."""
+    budget = 10 * 2 ** 20
+    for nt in (min(n, 256), 128, 64):
+        if nt > n:
+            continue
+        for hpb in (1, 2, 4, 8):
+            if num_heads % hpb or (d * hpb) % 128 or T * hpb > 128:
+                continue
+            w = d * hpb
+            if 8 * 2 * T * nt * w * itemsize <= budget:
+                return hpb, w, nt
+    return 0, 0, 0
 
 
 def _temporal_fwd(qkv, num_heads: int, scale: float):
+    """Returns (out [B, T, N, C], compact probs [B, T, N, 128 * cgroups])."""
     b, T, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
-    hpb = _temporal_hpb(d, num_heads, 4, T, n, qkv.dtype.itemsize)
+    hpb, w, nt = _temporal_geometry(n, c, d, num_heads, T, qkv.dtype.itemsize)
     assert hpb > 0, f"unsupported temporal geometry d={d} H={num_heads}"
-    w = d * hpb
-    nt = _temporal_nt(n)
-    qs, ks, vs, os = _temporal_specs(T, n, nt, w, c)
+    qs, ks, vs, os, ps = _temporal_specs(T, n, nt, w, c)
     return pl.pallas_call(
         functools.partial(_temporal_fwd_kernel, scale=scale, d=d, hpb=hpb),
         grid=(b, (n + nt - 1) // nt, c // w),
         in_specs=[qs, ks, vs],
-        out_specs=os,
-        out_shape=jax.ShapeDtypeStruct((b, T, n, c), qkv.dtype),
+        out_specs=[os, ps],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, T, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, T, n, 128 * (c // w)), qkv.dtype),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * T * T * n * c,
             bytes_accessed=(3 + 1) * b * T * n * c * qkv.dtype.itemsize,
@@ -682,39 +690,37 @@ def _temporal_fwd(qkv, num_heads: int, scale: float):
     )(qkv, qkv, qkv)
 
 
-def _temporal_bwd(qkv, g, num_heads: int, scale: float):
+def _temporal_bwd(qkv, probs, g, num_heads: int, scale: float):
     b, T, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
-    hpb = _temporal_hpb(d, num_heads, 7, T, n, qkv.dtype.itemsize)
-    w = d * hpb
-    nt = _temporal_nt(n)
-    qs, ks, vs, os = _temporal_specs(T, n, nt, w, c)
+    hpb, w, nt = _temporal_geometry(n, c, d, num_heads, T, qkv.dtype.itemsize)
+    qs, ks, vs, os, ps = _temporal_specs(T, n, nt, w, c)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_temporal_bwd_kernel, scale=scale, d=d, hpb=hpb),
         grid=(b, (n + nt - 1) // nt, c // w),
-        in_specs=[qs, ks, vs, os],
+        in_specs=[qs, ks, vs, os, ps],
         out_specs=[os, os, os],
         out_shape=[jax.ShapeDtypeStruct((b, T, n, c), qkv.dtype)] * 3,
         cost_estimate=pl.CostEstimate(
             flops=10 * b * T * T * n * c,
             bytes_accessed=7 * b * T * n * c * qkv.dtype.itemsize,
-            transcendentals=b * num_heads * T * T * n,
+            transcendentals=0,
         ),
         interpret=_interpret(),
-    )(qkv, qkv, qkv, g)
+    )(qkv, qkv, qkv, g, probs)
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
 _temporal_fwd_sharded = partition_aware(_temporal_fwd, _wrap(
     _temporal_fwd, n_tensors=1, static_argnums=(1, 2),
-    rule="b t n ci -> b t n co",
-    need_replication=("t", "n", "ci", "co"), shard_c=False, rank=4,
+    rule="b t n ci -> b t n co, b t n cp",
+    need_replication=("t", "n", "ci", "co", "cp"), shard_c=False, rank=4,
 ))
 _temporal_bwd_sharded = partition_aware(_temporal_bwd, _wrap(
-    _temporal_bwd, n_tensors=2, static_argnums=(2, 3),
-    rule="b t n ci, b t n co -> b t n ci",
-    need_replication=("t", "n", "ci", "co"), shard_c=False, rank=4,
+    _temporal_bwd, n_tensors=3, static_argnums=(3, 4),
+    rule="b t n ci, b t n cp, b t n co -> b t n ci",
+    need_replication=("t", "n", "ci", "co", "cp"), shard_c=False, rank=4,
 ))
 
 
@@ -727,16 +733,22 @@ def flash_attention_temporal(qkv, num_heads, scale):
     Attention runs over T independently per (B, N) position.  Returns
     [B, T, N, C].
     """
-    return _temporal_fwd_sharded(qkv, num_heads, scale)
+    return _temporal_fwd_sharded(qkv, num_heads, scale)[0]
 
 
 def _fat_fwd(qkv, num_heads, scale):
-    return _temporal_fwd_sharded(qkv, num_heads, scale), (qkv,)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, probs = _temporal_fwd_sharded(qkv, num_heads, scale)
+    # name the saved compact probs so the remat policy keeps them (else
+    # the forward kernel would re-run in the backward just to regenerate
+    # them, defeating the point of saving)
+    return out, (qkv, checkpoint_name(probs, "flash_attn_out"))
 
 
 def _fat_bwd(num_heads, scale, res, g):
-    (qkv,) = res
-    return (_temporal_bwd_sharded(qkv, g, num_heads, scale),)
+    qkv, probs = res
+    return (_temporal_bwd_sharded(qkv, probs, g, num_heads, scale),)
 
 
 flash_attention_temporal.defvjp(_fat_fwd, _fat_bwd)

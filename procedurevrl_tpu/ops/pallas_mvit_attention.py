@@ -274,3 +274,221 @@ def _vjp_bwd(k_shape, scale, res, g):
 
 
 flash_attention_mvit.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Head-LAST variant: q/k/v stay in the stream layout [B, L, H*d] end to end.
+#
+# The original kernel consumes [B*H, L, d] arrays, which the model had to
+# produce with the [B, N, 3, H, d] -> [3, B, H, N, d] qkv transpose plus
+# per-head pooling on [B*H, T, H', W', d] grids — v5e traces put those
+# relayouts at ~28% of the MViT step.  This variant keeps every tensor
+# head-interleaved: blocks are full-width (the "full array dim" Mosaic lane
+# rule admits any C), the grid is (B, q-tiles), and the kernel loops heads
+# with d-offset value slices (d = 96 lane offsets lower to lane rotates).
+# The rel-pos tables arrive packed per head along lanes: [B, qN, H * k_*].
+# Pooling runs channels-last on [B, T, H', W', C] with head-tiled depthwise
+# weights (models/mvit.py), so no [B*H]-batched small-channel convs remain.
+# ---------------------------------------------------------------------------
+
+
+def _tile_q_hl(kp: int, C: int, H: int) -> int:
+    """Query rows per tile for the head-last kernel: the backward holds ~3
+    fp32 [TQ, KP] arrays per head iteration plus fp32 [KP, C] dk/dv
+    accumulators and the C-wide blocks."""
+    acc = 2 * kp * C * 4
+    for tq in (512, 256, 128, 64):
+        blocks = 2 * (2 * tq * C * 2 + 2 * kp * C * 2 + 3 * tq * 64 * 4)
+        if 3 * tq * kp * 4 + acc + blocks <= 12 * 2 ** 20:
+            return tq
+    return 32
+
+
+def _fwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
+                   rw_ref, et_ref, eh_ref, ew_ref, o_ref, *, scale: float,
+                   qn: int, kn: int, d: int, H: int, k_shape):
+    k_t, k_h, k_w = k_shape
+    et, eh, ew = et_ref[...], eh_ref[...], ew_ref[...]
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        k = _splice_cls(k_ref[0][:, sl], kc_ref[0][:, sl], kn)
+        v = _mask_rows(_splice_cls(v_ref[0][:, sl], vc_ref[0][:, sl], kn),
+                       kn + 1)
+        p = _probs(q_ref[0][:, sl], k,
+                   rt_ref[0][:, h * k_t:(h + 1) * k_t],
+                   rh_ref[0][:, h * k_h:(h + 1) * k_h],
+                   rw_ref[0][:, h * k_w:(h + 1) * k_w],
+                   et, eh, ew, scale, kn)
+        o_ref[0, :, sl] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
+                   rw_ref, et_ref, eh_ref, ew_ref, g_ref,
+                   dq_ref, dkf_ref, dvf_ref, drt_ref, drh_ref, drw_ref,
+                   *, scale: float, qn: int, kn: int, d: int, H: int,
+                   k_shape, tq: int):
+    k_t, k_h, k_w = k_shape
+    qt = pl.program_id(1)
+    nvalid = _valid_rows(qt, qn, tq)
+    et, eh, ew = et_ref[...], eh_ref[...], ew_ref[...]
+
+    @pl.when(qt == 0)
+    def _init():
+        dkf_ref[0] = jnp.zeros_like(dkf_ref[0])
+        dvf_ref[0] = jnp.zeros_like(dvf_ref[0])
+
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = _mask_rows(q_ref[0][:, sl], nvalid)
+        k = _mask_rows(_splice_cls(k_ref[0][:, sl], kc_ref[0][:, sl], kn),
+                       kn + 1)
+        v = _mask_rows(_splice_cls(v_ref[0][:, sl], vc_ref[0][:, sl], kn),
+                       kn + 1)
+        rt = _mask_rows(rt_ref[0][:, h * k_t:(h + 1) * k_t], nvalid)
+        rh = _mask_rows(rh_ref[0][:, h * k_h:(h + 1) * k_h], nvalid)
+        rw = _mask_rows(rw_ref[0][:, h * k_w:(h + 1) * k_w], nvalid)
+        p = _probs(q, k, rt, rh, rw, et, eh, ew, scale, kn)
+        gf = _mask_rows(g_ref[0][:, sl].astype(jnp.float32), nvalid)
+
+        dv = jax.lax.dot_general(p, gf, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gf, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [TQ, KP]
+        dq_ref[0, :, sl] = (jnp.dot(ds, k.astype(jnp.float32),
+                                    preferred_element_type=jnp.float32)
+                            * scale).astype(dq_ref.dtype)
+        dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        drt_ref[0, :, h * k_t:(h + 1) * k_t] = jax.lax.dot_general(
+            ds, et, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drt_ref.dtype)
+        drh_ref[0, :, h * k_h:(h + 1) * k_h] = jax.lax.dot_general(
+            ds, eh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drh_ref.dtype)
+        drw_ref[0, :, h * k_w:(h + 1) * k_w] = jax.lax.dot_general(
+            ds, ew, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drw_ref.dtype)
+        dkf_ref[0, :, sl] += dk
+        dvf_ref[0, :, sl] += dv
+
+
+def _specs_hl(qn: int, kp: int, C: int, k_shape, tq: int):
+    k_t, k_h, k_w = k_shape
+    qs = pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, kp, C), lambda b, t: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    def rspec(kk):
+        return pl.BlockSpec((1, tq, kk), lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+    et = pl.BlockSpec((k_t, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    eh = pl.BlockSpec((k_h, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    ew = pl.BlockSpec((k_w, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    return qs, ks, cs, rspec, et, eh, ew
+
+
+def _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale):
+    B, qn, C = q.shape
+    d = C // num_heads
+    kn = k.shape[1]
+    k_t, k_h, k_w = k_shape
+    kp = _round_up(kn + 1, 128)
+    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    tq = _tile_q_hl(kp, C, num_heads)
+    qs, ks, cs, rspec, et, eh, ew = _specs_hl(qn, kp, C, k_shape, tq)
+    return pl.pallas_call(
+        functools.partial(_fwd_hl_kernel, scale=scale, qn=qn, kn=kn, d=d,
+                          H=num_heads, k_shape=k_shape),
+        grid=(B, (qn + tq - 1) // tq),
+        in_specs=[qs, ks, ks, cs, cs,
+                  rspec(num_heads * k_t), rspec(num_heads * k_h),
+                  rspec(num_heads * k_w), et, eh, ew],
+        out_specs=qs,
+        out_shape=jax.ShapeDtypeStruct((B, qn, C), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * qn * kp * d,
+            bytes_accessed=2 * B * qn * C * q.dtype.itemsize,
+            transcendentals=B * num_heads * qn * kp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, kc, vc, rel_t, rel_h, rel_w, e_t, e_h, e_w)
+
+
+def _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale,
+            g):
+    B, qn, C = q.shape
+    d = C // num_heads
+    kn = k.shape[1]
+    k_t, k_h, k_w = k_shape
+    kp = _round_up(kn + 1, 128)
+    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    tq = _tile_q_hl(kp, C, num_heads)
+    qs, ks, cs, rspec, et, eh, ew = _specs_hl(qn, kp, C, k_shape, tq)
+    kacc = pl.BlockSpec((1, kp, C), lambda b, t: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dkf, dvf, drt, drh, drw = pl.pallas_call(
+        functools.partial(_bwd_hl_kernel, scale=scale, qn=qn, kn=kn, d=d,
+                          H=num_heads, k_shape=k_shape, tq=tq),
+        grid=(B, (qn + tq - 1) // tq),
+        in_specs=[qs, ks, ks, cs, cs,
+                  rspec(num_heads * k_t), rspec(num_heads * k_h),
+                  rspec(num_heads * k_w), et, eh, ew, qs],
+        out_specs=[qs, kacc, kacc,
+                   rspec(num_heads * k_t), rspec(num_heads * k_h),
+                   rspec(num_heads * k_w)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, qn, C), q.dtype),
+            jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, qn, num_heads * k_t), jnp.float32),
+            jax.ShapeDtypeStruct((B, qn, num_heads * k_h), jnp.float32),
+            jax.ShapeDtypeStruct((B, qn, num_heads * k_w), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * num_heads * qn * kp * d,
+            bytes_accessed=6 * B * qn * C * q.dtype.itemsize,
+            transcendentals=B * num_heads * qn * kp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, kc, vc, rel_t, rel_h, rel_w, e_t, e_h, e_w, g)
+    dk = dkf[:, :kn].astype(k.dtype)
+    dv = dvf[:, :kn].astype(v.dtype)
+    dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
+    dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
+    return (dq, dk, dv, dkc, dvc, drt.astype(rel_t.dtype),
+            drh.astype(rel_h.dtype), drw.astype(rel_w.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def flash_attention_mvit_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
+                            num_heads, scale):
+    """Head-last pooled attention with decomposed rel-pos bias.
+
+    q [B, qN, H*d]; k, v [B, kN, H*d] (body keys, row-major (t', h', w'));
+    kc, vc [B, 1, H*d] cls key/value; rel_t/h/w [B, qN, H*k_*] fp32 bias
+    tables packed per head along lanes.  Returns body-query outputs
+    [B, qN, H*d]; the cls query row is computed outside in plain XLA.
+    """
+    return _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
+                   scale)
+
+
+def _vjp_hl_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
+                scale):
+    out = _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
+                  scale)
+    return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w)
+
+
+def _vjp_hl_bwd(k_shape, num_heads, scale, res, g):
+    return _bwd_hl(*res, k_shape, num_heads, scale, g)
+
+
+flash_attention_mvit_hl.defvjp(_vjp_hl_fwd, _vjp_hl_bwd)
