@@ -61,3 +61,51 @@ def test_mvit_fused_grads_match_xla(setup):
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_mvit_hl_kernel_matches_per_head_kernel():
+    """flash_attention_mvit_hl (head-last blocks, in-kernel head loop)
+    reproduces flash_attention_mvit (per-head [B*H] grid), fwd and grads."""
+    from procedurevrl_tpu.ops.pallas_mvit_attention import (
+        flash_attention_mvit, flash_attention_mvit_hl,
+    )
+
+    rng = np.random.RandomState(3)
+    B, H, d = 2, 4, 96
+    q_shape, k_shape = (4, 7, 7), (4, 4, 4)
+    qn, kn = int(np.prod(q_shape)), int(np.prod(k_shape))
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k, v = mk(B, H, qn, d), mk(B, H, kn, d), mk(B, H, kn, d)
+    kc, vc = mk(B, H, 1, d), mk(B, H, 1, d)
+    rt, rh, rw = (mk(B, H, qn, kk) for kk in k_shape)
+    scale = d ** -0.5
+
+    fold = lambda x: jnp.asarray(x.reshape(B * H, x.shape[2], x.shape[3]))
+    hl = lambda x: jnp.asarray(
+        np.transpose(x, (0, 2, 1, 3)).reshape(B, x.shape[2], H * x.shape[3]))
+
+    def loss_ref(*args):
+        return jnp.sum(jnp.sin(flash_attention_mvit(*args, k_shape, scale)))
+
+    def loss_hl(*args):
+        return jnp.sum(jnp.sin(
+            flash_attention_mvit_hl(*args, k_shape, H, scale)))
+
+    tensors = (q, k, v, kc, vc, rt, rh, rw)
+    out_ref = flash_attention_mvit(*[fold(t) for t in tensors], k_shape,
+                                   scale).reshape(B, H, qn, d)
+    out_hl = np.asarray(flash_attention_mvit_hl(
+        *[hl(t) for t in tensors], k_shape, H, scale,
+    )).reshape(B, qn, H, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(out_hl, np.asarray(out_ref),
+                               atol=2e-5, rtol=2e-5)
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(
+        *[fold(t) for t in tensors])
+    g_hl = jax.grad(loss_hl, argnums=tuple(range(8)))(
+        *[hl(t) for t in tensors])
+    for i, (a, b) in enumerate(zip(g_hl, g_ref)):
+        bb = np.asarray(b).reshape(B, H, b.shape[1], b.shape[2]).transpose(
+            0, 2, 1, 3).reshape(np.asarray(a).shape)
+        np.testing.assert_allclose(np.asarray(a), bb, atol=5e-5, rtol=5e-5,
+                                   err_msg=f"grad arg {i}")
