@@ -717,10 +717,12 @@ _temporal_fwd_sharded = partition_aware(_temporal_fwd, _wrap(
     rule="b t n ci -> b t n co, b t n cp",
     need_replication=("t", "n", "ci", "co", "cp"), shard_c=False, rank=4,
 ))
+# NOTE: need_replication factors must be listed in first-appearance order
+# (shardy rejects unsorted "special factor" indices)
 _temporal_bwd_sharded = partition_aware(_temporal_bwd, _wrap(
     _temporal_bwd, n_tensors=3, static_argnums=(3, 4),
-    rule="b t n ci, b t n cp, b t n co -> b t n ci",
-    need_replication=("t", "n", "ci", "co", "cp"), shard_c=False, rank=4,
+    rule="b t n ci, b t n cp, b t n cg -> b t n ci",
+    need_replication=("t", "n", "ci", "cp", "cg"), shard_c=False, rank=4,
 ))
 
 

@@ -309,16 +309,19 @@ def _fwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
                    qn: int, kn: int, d: int, H: int, k_shape):
     k_t, k_h, k_w = k_shape
     et, eh, ew = et_ref[...], eh_ref[...], ew_ref[...]
+    # splice the cls row / mask padding ONCE at full channel width: a
+    # lane-offset [1, d] head slice cannot be broadcast across rows by
+    # Mosaic (misaligned vpad layouts); the full-width [1, C] row can
+    kf = _splice_cls(k_ref[0], kc_ref[0], kn)
+    vf = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
-        k = _splice_cls(k_ref[0][:, sl], kc_ref[0][:, sl], kn)
-        v = _mask_rows(_splice_cls(v_ref[0][:, sl], vc_ref[0][:, sl], kn),
-                       kn + 1)
-        p = _probs(q_ref[0][:, sl], k,
+        p = _probs(q_ref[0][:, sl], kf[:, sl],
                    rt_ref[0][:, h * k_t:(h + 1) * k_t],
                    rh_ref[0][:, h * k_h:(h + 1) * k_h],
                    rw_ref[0][:, h * k_w:(h + 1) * k_w],
                    et, eh, ew, scale, kn)
+        v = vf[:, sl]
         o_ref[0, :, sl] = jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
@@ -339,13 +342,16 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
         dkf_ref[0] = jnp.zeros_like(dkf_ref[0])
         dvf_ref[0] = jnp.zeros_like(dvf_ref[0])
 
+    # full-width splice/mask (see _fwd_hl_kernel: Mosaic cannot broadcast
+    # a lane-offset head slice across rows)
+    qf = _mask_rows(q_ref[0], nvalid)
+    kf = _mask_rows(_splice_cls(k_ref[0], kc_ref[0], kn), kn + 1)
+    vf = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
-        q = _mask_rows(q_ref[0][:, sl], nvalid)
-        k = _mask_rows(_splice_cls(k_ref[0][:, sl], kc_ref[0][:, sl], kn),
-                       kn + 1)
-        v = _mask_rows(_splice_cls(v_ref[0][:, sl], vc_ref[0][:, sl], kn),
-                       kn + 1)
+        q = qf[:, sl]
+        k = kf[:, sl]
+        v = vf[:, sl]
         rt = _mask_rows(rt_ref[0][:, h * k_t:(h + 1) * k_t], nvalid)
         rh = _mask_rows(rh_ref[0][:, h * k_h:(h + 1) * k_h], nvalid)
         rw = _mask_rows(rw_ref[0][:, h * k_w:(h + 1) * k_w], nvalid)
