@@ -263,6 +263,28 @@ class DepthwisePool3D(nn.Module):
         )
 
 
+class _GroupedLN(nn.Module):
+    """Per-head LayerNorm with the reference's shared ``[head_dim]``
+    parameters, applied on the head-LAST ``[.., heads*d]`` layout without
+    reshape relayouts (ops/common.grouped_layer_norm_fp32)."""
+
+    head_dim: int
+    heads: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from procedurevrl_tpu.ops.common import grouped_layer_norm_fp32, layer_norm_fp32
+
+        scale = self.param("scale", nn.initializers.ones, (self.head_dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.head_dim,),
+                          jnp.float32)
+        if self.heads == 1:
+            return layer_norm_fp32(x, scale, bias, self.eps)
+        return grouped_layer_norm_fp32(x, scale, bias, self.heads, self.eps)
+
+
 def _pooled_thw(thw, kernel, stride) -> Tuple[int, int, int]:
     """Output grid of a padded pool (pad = k//2, ceil_mode=False)."""
     return tuple(
@@ -425,10 +447,13 @@ class MultiScaleAttention(nn.Module):
         if cls_tok is not None:
             x = jnp.concatenate([cls_tok, x], axis=1)
         if self.mode == "conv" and with_norm:
-            L2 = x.shape[1]
-            x = LayerNormFp32(eps=1e-6, name=f"norm_{name}")(
-                x.reshape(B, L2, heads, d)
-            ).reshape(B, L2, C)
+            # per-head LN in the native head-last layout (a [.., H, d]
+            # reshape view forces lane relayouts; ops/common grouped LN
+            # computes the per-head stats with structured MXU dots)
+            from procedurevrl_tpu.ops.common import grouped_layer_norm_fp32
+
+            norm = _GroupedLN(d, heads, name=f"norm_{name}")
+            x = norm(x)
         return x, new_thw
 
     def _fused_attention(self, q, k, v, q_shape, k_shape,
@@ -464,12 +489,38 @@ class MultiScaleAttention(nn.Module):
                            preferred_element_type=jnp.float32)
         rel_t = jnp.einsum("bthwyc,tkc->bthwyk", r_q, Rt.astype(q.dtype),
                            preferred_element_type=jnp.float32)
-        pack = lambda r, kk: r.astype(jnp.float32).reshape(B, qn, H * kk)
-        out_body = flash_attention_mvit_hl(
-            qb, kb, vb, kc, vc,
-            pack(rel_t, k_t), pack(rel_h, k_h), pack(rel_w, k_w),
-            (k_t, k_h, k_w), H, float(scale),
-        )
+        import os
+
+        from procedurevrl_tpu.ops.pallas_mvit_attention import hl_supported
+
+        # MVIT_HL=0 forces the per-head kernel (head-split at this
+        # boundary) while keeping the head-last pooling/layout elsewhere
+        if hl_supported(kb.shape[1], C, H) and os.environ.get(
+                "MVIT_HL", "1") != "0":
+            pack = lambda r, kk: r.astype(jnp.float32).reshape(B, qn, H * kk)
+            out_body = flash_attention_mvit_hl(
+                qb, kb, vb, kc, vc,
+                pack(rel_t, k_t), pack(rel_h, k_h), pack(rel_w, k_w),
+                (k_t, k_h, k_w), H, float(scale),
+            )
+        else:
+            # wide key sets exceed the head-last kernel's scoped-VMEM
+            # geometry (rare stage-transition blocks): run the per-head
+            # kernel, head-splitting only at this boundary
+            from procedurevrl_tpu.ops.pallas_mvit_attention import (
+                flash_attention_mvit,
+            )
+
+            fold = lambda t: t.reshape(
+                B, t.shape[1], H, d).transpose(0, 2, 1, 3).reshape(
+                B * H, t.shape[1], d)
+            foldr = lambda r, kk: r.astype(jnp.float32).transpose(
+                0, 4, 1, 2, 3, 5).reshape(B * H, qn, kk)
+            out_body = flash_attention_mvit(
+                fold(qb), fold(kb), fold(vb), fold(kc), fold(vc),
+                foldr(rel_t, k_t), foldr(rel_h, k_h), foldr(rel_w, k_w),
+                (k_t, k_h, k_w), float(scale),
+            ).reshape(B, H, qn, d).transpose(0, 2, 1, 3).reshape(B, qn, C)
         # cls query: one row over the full (cls-first) key set, no rel bias
         qc5 = qc.reshape(B, 1, H, d)
         k5 = k.reshape(B, k.shape[1], H, d)

@@ -168,3 +168,86 @@ def sinusoidal_time_embedding(t: jax.Array, dim: int) -> jax.Array:
     freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1)))
     args = t.astype(jnp.float32)[:, None] * freqs[None, :]
     return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Grouped (per-head) LayerNorm on a head-LAST channel axis.
+#
+# MViT normalizes each head's d channels separately with shared [d] params
+# (reference lib/models/slowfast_mvit/attention.py:236-276).  Normalizing a
+# [.., H, d] reshape view forces lane relayouts on TPU ([.., H*d] <-> a
+# 96-lane minor layout; profiled at ~10 ms/step of pure copies on the MViT
+# train step).  Instead the per-head statistics are computed IN the native
+# [.., H*d] layout with two tiny structured matmuls: a [C, H*8] head-sum
+# contraction followed by a [H*8, C] broadcast back onto each head's lanes
+# (the same ones-matrix MXU trick as layer_norm_fp32, grouped).
+# ---------------------------------------------------------------------------
+
+
+def _group_mats(heads: int, d: int):
+    c = heads * d
+    lane = jnp.arange(c) // d          # head index per channel
+    colg = jnp.arange(heads * 8) // 8  # head index per compact column
+    e1 = (lane[:, None] == colg[None, :]).astype(jnp.float32)  # [C, H*8]
+    e2 = (colg[:, None] == lane[None, :]).astype(jnp.float32)  # [H*8, C]
+    return e1, e2
+
+
+def _group_reduce_rep(x32: jax.Array, heads: int) -> jax.Array:
+    """Per-head lane sums of ``x32 [.., H*d]``, replicated back onto each
+    head's lanes — [.., H*d], all via MXU dots (no reshape/relayout)."""
+    d = x32.shape[-1] // heads
+    e1, e2 = _group_mats(heads, d)
+    compact = jax.lax.dot_general(
+        x32, e1, (((x32.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / 8.0  # each head column repeated 8x by e1^T e2 structure? no: e1
+    # has 8 identical columns per head, so the compact result holds the
+    # head sum replicated 8x; dividing here and summing through e2 (8
+    # ones per lane) returns the exact head sum once
+    return jax.lax.dot_general(
+        compact, e2, (((x32.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gln_fwd(x, scale, bias, heads: int, eps: float):
+    d = x.shape[-1] // heads
+    x32 = x.astype(jnp.float32)
+    s = jnp.tile(scale.astype(jnp.float32), heads)
+    b = jnp.tile(bias.astype(jnp.float32), heads)
+    mean = _group_reduce_rep(x32, heads) / d
+    meansq = _group_reduce_rep(jnp.square(x32), heads) / d
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mean) * rstd
+    y = xhat * s + b
+    return y.astype(x.dtype), (x, mean, rstd, scale)
+
+
+def _gln_bwd(heads: int, eps: float, res, dy):
+    x, mean, rstd, scale = res
+    d = x.shape[-1] // heads
+    x32 = x.astype(jnp.float32)
+    dy32 = dy.astype(jnp.float32)
+    xhat = (x32 - mean) * rstd
+    dyg = dy32 * jnp.tile(scale.astype(jnp.float32), heads)
+    m1 = _group_reduce_rep(dyg, heads) / d
+    m2 = _group_reduce_rep(dyg * xhat, heads) / d
+    dx = (rstd * (dyg - m1 - xhat * m2)).astype(x.dtype)
+    lead = tuple(range(x.ndim - 1))
+    dsc = jnp.sum(dy32 * xhat, axis=lead).reshape(heads, d).sum(0)
+    dbi = jnp.sum(dy32, axis=lead).reshape(heads, d).sum(0)
+    return dx, dsc.astype(scale.dtype), dbi
+
+
+@__import__("functools").partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def grouped_layer_norm_fp32(x, scale, bias, heads: int, eps: float):
+    """Per-head LayerNorm on ``x [.., heads*d]`` with shared [d] params."""
+    return _gln_fwd(x, scale, bias, heads, eps)[0]
+
+
+grouped_layer_norm_fp32.defvjp(
+    lambda x, scale, bias, heads, eps: _gln_fwd(x, scale, bias, heads, eps),
+    _gln_bwd,
+)

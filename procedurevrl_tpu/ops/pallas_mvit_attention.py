@@ -56,6 +56,13 @@ MIN_FUSED_QN = 64
 MAX_FUSED_KN = 2048
 
 
+def hl_supported(kn: int, C: int, H: int) -> bool:
+    """Whether the head-last kernel has a VMEM-feasible geometry for this
+    block (wide key sets exceed the scoped-VMEM stack; those rare
+    stage-transition blocks use the per-head kernel instead)."""
+    return _hl_geometry(_round_up(kn + 1, 128), C, H, C // H) is not None
+
+
 def expanders(k_shape, kp: int) -> tuple:
     """0/1 expander matrices e_t [k_t, KP], e_h [k_h, KP], e_w [k_w, KP]
     mapping the per-axis rel-pos tables onto flattened key columns
@@ -292,21 +299,37 @@ flash_attention_mvit.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _tile_q_hl(kp: int, C: int, H: int) -> int:
-    """Query rows per tile for the head-last kernel: the backward holds ~3
-    fp32 [TQ, KP] arrays per head iteration plus fp32 [KP, C] dk/dv
-    accumulators and the C-wide blocks."""
-    acc = 2 * kp * C * 4
-    for tq in (512, 256, 128, 64):
-        blocks = 2 * (2 * tq * C * 2 + 2 * kp * C * 2 + 3 * tq * 64 * 4)
-        if 3 * tq * kp * 4 + acc + blocks <= 12 * 2 ** 20:
-            return tq
-    return 32
+def _hl_geometry(kp: int, C: int, H: int, d: int):
+    """(hg, w, tq) for the head-last kernel: ``hg`` heads per grid step
+    (channel block w = hg*d must be a 128-multiple or the full C), query
+    tile tq.  Budget: fp32 [KP, w] dk/dv accumulators + resident k/v
+    blocks + double-buffered q/g/dq blocks + the backward's ~3 live fp32
+    [TQ, KP] arrays must fit scoped VMEM (16 MB hard; keep margin)."""
+    hgs = [H] + [h for h in (8, 4, 2) if h < H and H % h == 0
+                 and (h * d) % 128 == 0]
+    # prefer the biggest query tile (tiny tiles starve the MXU), then the
+    # widest head group (fewer grid steps).  Stack model from a measured
+    # v5e Mosaic OOM (21.7 MB at tq=128, kp=1664, w=384): ~14 live fp32
+    # [tq, kp] sheets through _probs + the backward, plus fp32 [kp, w]
+    # dk/dv temporaries.  Returns None when nothing with a sane tile
+    # fits — the caller falls back to the per-head kernel.
+    for tq in (512, 256, 128):
+        for hg in hgs:
+            w = hg * d
+            acc = 2 * kp * w * 4
+            kv = 2 * kp * w * 2
+            qg = 2 * 3 * tq * w * 2
+            rel = 2 * 3 * tq * hg * 32 * 4
+            stack = (14 * tq * kp + 4 * kp * w) * 4
+            if acc + kv + qg + rel + stack <= 15 * 2 ** 20:
+                return hg, w, tq
+    return None
 
 
 def _fwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
                    rw_ref, et_ref, eh_ref, ew_ref, o_ref, *, scale: float,
                    qn: int, kn: int, d: int, H: int, k_shape):
+    # H here is heads PER BLOCK (hg); the grid's channel axis walks groups
     k_t, k_h, k_w = k_shape
     et, eh, ew = et_ref[...], eh_ref[...], ew_ref[...]
     # splice the cls row / mask padding ONCE at full channel width: a
@@ -317,9 +340,9 @@ def _fwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
         p = _probs(q_ref[0][:, sl], kf[:, sl],
-                   rt_ref[0][:, h * k_t:(h + 1) * k_t],
-                   rh_ref[0][:, h * k_h:(h + 1) * k_h],
-                   rw_ref[0][:, h * k_w:(h + 1) * k_w],
+                   rt_ref[0, 0][:, h * k_t:(h + 1) * k_t],
+                   rh_ref[0, 0][:, h * k_h:(h + 1) * k_h],
+                   rw_ref[0, 0][:, h * k_w:(h + 1) * k_w],
                    et, eh, ew, scale, kn)
         v = vf[:, sl]
         o_ref[0, :, sl] = jnp.dot(
@@ -333,7 +356,7 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
                    *, scale: float, qn: int, kn: int, d: int, H: int,
                    k_shape, tq: int):
     k_t, k_h, k_w = k_shape
-    qt = pl.program_id(1)
+    qt = pl.program_id(2)
     nvalid = _valid_rows(qt, qn, tq)
     et, eh, ew = et_ref[...], eh_ref[...], ew_ref[...]
 
@@ -352,9 +375,9 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
         q = qf[:, sl]
         k = kf[:, sl]
         v = vf[:, sl]
-        rt = _mask_rows(rt_ref[0][:, h * k_t:(h + 1) * k_t], nvalid)
-        rh = _mask_rows(rh_ref[0][:, h * k_h:(h + 1) * k_h], nvalid)
-        rw = _mask_rows(rw_ref[0][:, h * k_w:(h + 1) * k_w], nvalid)
+        rt = _mask_rows(rt_ref[0, 0][:, h * k_t:(h + 1) * k_t], nvalid)
+        rh = _mask_rows(rh_ref[0, 0][:, h * k_h:(h + 1) * k_h], nvalid)
+        rw = _mask_rows(rw_ref[0, 0][:, h * k_w:(h + 1) * k_w], nvalid)
         p = _probs(q, k, rt, rh, rw, et, eh, ew, scale, kn)
         gf = _mask_rows(g_ref[0][:, sl].astype(jnp.float32), nvalid)
 
@@ -370,33 +393,40 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
         dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
-        drt_ref[0, :, h * k_t:(h + 1) * k_t] = jax.lax.dot_general(
+        drt_ref[0, 0, :, h * k_t:(h + 1) * k_t] = jax.lax.dot_general(
             ds, et, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(drt_ref.dtype)
-        drh_ref[0, :, h * k_h:(h + 1) * k_h] = jax.lax.dot_general(
+        drh_ref[0, 0, :, h * k_h:(h + 1) * k_h] = jax.lax.dot_general(
             ds, eh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(drh_ref.dtype)
-        drw_ref[0, :, h * k_w:(h + 1) * k_w] = jax.lax.dot_general(
+        drw_ref[0, 0, :, h * k_w:(h + 1) * k_w] = jax.lax.dot_general(
             ds, ew, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(drw_ref.dtype)
         dkf_ref[0, :, sl] += dk
         dvf_ref[0, :, sl] += dv
 
 
-def _specs_hl(qn: int, kp: int, C: int, k_shape, tq: int):
+def _specs_hl(qn: int, kp: int, w: int, k_shape, tq: int):
+    """Blocks for grid (B, head-groups, q-tiles); the channel axis walks
+    w-wide head groups (w a 128-multiple or the full width)."""
     k_t, k_h, k_w = k_shape
-    qs = pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+    qs = pl.BlockSpec((1, tq, w), lambda b, g, t: (b, t, g),
                       memory_space=pltpu.VMEM)
-    ks = pl.BlockSpec((1, kp, C), lambda b, t: (b, 0, 0),
+    ks = pl.BlockSpec((1, kp, w), lambda b, g, t: (b, 0, g),
                       memory_space=pltpu.VMEM)
-    cs = pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
+    cs = pl.BlockSpec((1, 1, w), lambda b, g, t: (b, 0, g),
                       memory_space=pltpu.VMEM)
     def rspec(kk):
-        return pl.BlockSpec((1, tq, kk), lambda b, t: (b, t, 0),
+        # rel tables are 4-D [B, HG, qn, hg*k]: the head-group axis is a
+        # real array axis so the lane dim stays the FULL (any-size) width
+        return pl.BlockSpec((1, 1, tq, kk), lambda b, g, t: (b, g, t, 0),
                             memory_space=pltpu.VMEM)
-    et = pl.BlockSpec((k_t, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
-    eh = pl.BlockSpec((k_h, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
-    ew = pl.BlockSpec((k_w, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    et = pl.BlockSpec((k_t, kp), lambda b, g, t: (0, 0),
+                      memory_space=pltpu.VMEM)
+    eh = pl.BlockSpec((k_h, kp), lambda b, g, t: (0, 0),
+                      memory_space=pltpu.VMEM)
+    ew = pl.BlockSpec((k_w, kp), lambda b, g, t: (0, 0),
+                      memory_space=pltpu.VMEM)
     return qs, ks, cs, rspec, et, eh, ew
 
 
@@ -407,15 +437,17 @@ def _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale):
     k_t, k_h, k_w = k_shape
     kp = _round_up(kn + 1, 128)
     e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
-    tq = _tile_q_hl(kp, C, num_heads)
-    qs, ks, cs, rspec, et, eh, ew = _specs_hl(qn, kp, C, k_shape, tq)
+    hg, w, tq = _hl_geometry(kp, C, num_heads, d)
+    hgn = num_heads // hg
+    greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
+    qs, ks, cs, rspec, et, eh, ew = _specs_hl(qn, kp, w, k_shape, tq)
     return pl.pallas_call(
         functools.partial(_fwd_hl_kernel, scale=scale, qn=qn, kn=kn, d=d,
-                          H=num_heads, k_shape=k_shape),
-        grid=(B, (qn + tq - 1) // tq),
+                          H=hg, k_shape=k_shape),
+        grid=(B, hgn, (qn + tq - 1) // tq),
         in_specs=[qs, ks, ks, cs, cs,
-                  rspec(num_heads * k_t), rspec(num_heads * k_h),
-                  rspec(num_heads * k_w), et, eh, ew],
+                  rspec(hg * k_t), rspec(hg * k_h),
+                  rspec(hg * k_w), et, eh, ew],
         out_specs=qs,
         out_shape=jax.ShapeDtypeStruct((B, qn, C), q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -424,7 +456,8 @@ def _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale):
             transcendentals=B * num_heads * qn * kp,
         ),
         interpret=_interpret(),
-    )(q, k, v, kc, vc, rel_t, rel_h, rel_w, e_t, e_h, e_w)
+    )(q, k, v, kc, vc, greg(rel_t, k_t), greg(rel_h, k_h), greg(rel_w, k_w),
+      e_t, e_h, e_w)
 
 
 def _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale,
@@ -435,27 +468,29 @@ def _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale,
     k_t, k_h, k_w = k_shape
     kp = _round_up(kn + 1, 128)
     e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
-    tq = _tile_q_hl(kp, C, num_heads)
-    qs, ks, cs, rspec, et, eh, ew = _specs_hl(qn, kp, C, k_shape, tq)
-    kacc = pl.BlockSpec((1, kp, C), lambda b, t: (b, 0, 0),
+    hg, w, tq = _hl_geometry(kp, C, num_heads, d)
+    hgn = num_heads // hg
+    greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
+    qs, ks, cs, rspec, et, eh, ew = _specs_hl(qn, kp, w, k_shape, tq)
+    kacc = pl.BlockSpec((1, kp, w), lambda b, g, t: (b, 0, g),
                         memory_space=pltpu.VMEM)
     dq, dkf, dvf, drt, drh, drw = pl.pallas_call(
         functools.partial(_bwd_hl_kernel, scale=scale, qn=qn, kn=kn, d=d,
-                          H=num_heads, k_shape=k_shape, tq=tq),
-        grid=(B, (qn + tq - 1) // tq),
+                          H=hg, k_shape=k_shape, tq=tq),
+        grid=(B, hgn, (qn + tq - 1) // tq),
         in_specs=[qs, ks, ks, cs, cs,
-                  rspec(num_heads * k_t), rspec(num_heads * k_h),
-                  rspec(num_heads * k_w), et, eh, ew, qs],
+                  rspec(hg * k_t), rspec(hg * k_h),
+                  rspec(hg * k_w), et, eh, ew, qs],
         out_specs=[qs, kacc, kacc,
-                   rspec(num_heads * k_t), rspec(num_heads * k_h),
-                   rspec(num_heads * k_w)],
+                   rspec(hg * k_t), rspec(hg * k_h),
+                   rspec(hg * k_w)],
         out_shape=[
             jax.ShapeDtypeStruct((B, qn, C), q.dtype),
             jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
             jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, qn, num_heads * k_t), jnp.float32),
-            jax.ShapeDtypeStruct((B, qn, num_heads * k_h), jnp.float32),
-            jax.ShapeDtypeStruct((B, qn, num_heads * k_w), jnp.float32),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_t), jnp.float32),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_h), jnp.float32),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_w), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * B * num_heads * qn * kp * d,
@@ -463,13 +498,17 @@ def _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale,
             transcendentals=B * num_heads * qn * kp,
         ),
         interpret=_interpret(),
-    )(q, k, v, kc, vc, rel_t, rel_h, rel_w, e_t, e_h, e_w, g)
+    )(q, k, v, kc, vc, greg(rel_t, k_t), greg(rel_h, k_h), greg(rel_w, k_w),
+      e_t, e_h, e_w, g)
     dk = dkf[:, :kn].astype(k.dtype)
     dv = dvf[:, :kn].astype(v.dtype)
     dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
     dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
-    return (dq, dk, dv, dkc, dvc, drt.astype(rel_t.dtype),
-            drh.astype(rel_h.dtype), drw.astype(rel_w.dtype))
+    ungr = lambda r, kk: r.transpose(0, 2, 1, 3).reshape(
+        B, qn, num_heads * kk)
+    return (dq, dk, dv, dkc, dvc, ungr(drt, k_t).astype(rel_t.dtype),
+            ungr(drh, k_h).astype(rel_h.dtype),
+            ungr(drw, k_w).astype(rel_w.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))

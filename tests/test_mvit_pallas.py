@@ -109,3 +109,36 @@ def test_mvit_hl_kernel_matches_per_head_kernel():
             0, 2, 1, 3).reshape(np.asarray(a).shape)
         np.testing.assert_allclose(np.asarray(a), bb, atol=5e-5, rtol=5e-5,
                                    err_msg=f"grad arg {i}")
+
+
+def test_mvit_hl_kernel_head_groups():
+    """Wide-key geometry forces hg < H (channel-blocked grid axis); parity
+    vs the per-head kernel must hold across group boundaries."""
+    from procedurevrl_tpu.ops.pallas_mvit_attention import (
+        _hl_geometry, _round_up, flash_attention_mvit,
+        flash_attention_mvit_hl,
+    )
+
+    B, H, d = 1, 8, 96
+    q_shape, k_shape = (2, 10, 10), (8, 7, 7)
+    qn, kn = int(np.prod(q_shape)), int(np.prod(k_shape))
+    kp = _round_up(kn + 1, 128)
+    hg, w, tq = _hl_geometry(kp, H * d, H, d)
+    assert hg < H, (hg, w, tq)  # the point of this test
+
+    rng = np.random.RandomState(5)
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k, v = mk(B, H, qn, d), mk(B, H, kn, d), mk(B, H, kn, d)
+    kc, vc = mk(B, H, 1, d), mk(B, H, 1, d)
+    rt, rh, rw = (mk(B, H, qn, kk) for kk in k_shape)
+    scale = d ** -0.5
+    fold = lambda x: jnp.asarray(x.reshape(B * H, x.shape[2], x.shape[3]))
+    hl = lambda x: jnp.asarray(
+        np.transpose(x, (0, 2, 1, 3)).reshape(B, x.shape[2], H * x.shape[3]))
+    tensors = (q, k, v, kc, vc, rt, rh, rw)
+    ref = flash_attention_mvit(*[fold(t) for t in tensors], k_shape,
+                               scale).reshape(B, H, qn, d)
+    out = np.asarray(flash_attention_mvit_hl(
+        *[hl(t) for t in tensors], k_shape, H, scale,
+    )).reshape(B, qn, H, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=2e-5, rtol=2e-5)
