@@ -503,6 +503,11 @@ class MultiScaleAttention(nn.Module):
                 pack(rel_t, k_t), pack(rel_h, k_h), pack(rel_w, k_w),
                 (k_t, k_h, k_w), H, float(scale),
             )
+            from jax.ad_checkpoint import checkpoint_name
+
+            # saved as a remat residual: re-running the attention kernel
+            # in the backward costs far more than storing [B, qN, C] bf16
+            out_body = checkpoint_name(out_body, "flash_attn_out")
         else:
             # wide key sets exceed the head-last kernel's scoped-VMEM
             # geometry (rare stage-transition blocks): run the per-head
@@ -521,6 +526,9 @@ class MultiScaleAttention(nn.Module):
                 foldr(rel_t, k_t), foldr(rel_h, k_h), foldr(rel_w, k_w),
                 (k_t, k_h, k_w), float(scale),
             ).reshape(B, H, qn, d).transpose(0, 2, 1, 3).reshape(B, qn, C)
+            from jax.ad_checkpoint import checkpoint_name
+
+            out_body = checkpoint_name(out_body, "flash_attn_out")
         # cls query: one row over the full (cls-first) key set, no rel bias
         qc5 = qc.reshape(B, 1, H, d)
         k5 = k.reshape(B, k.shape[1], H, d)
@@ -737,7 +745,13 @@ class MViTEncoder(nn.Module):
         ) + b.astype(self.dtype)
         T, H, W = grid.shape[1:4]
         assert [T, H, W] == patch_dims, (grid.shape, patch_dims)
-        tokens = grid.reshape(B, T * H * W, c.embed_dim)
+        from jax.ad_checkpoint import checkpoint_name
+
+        # the stem output is outside the remat'd blocks, but naming it
+        # documents the boundary; the fp32 video -> bf16 cast + stem conv
+        # are not re-run per block either way
+        tokens = checkpoint_name(
+            grid.reshape(B, T * H * W, c.embed_dim), "stem_out")
 
         if c.cls_embed_on:
             cls_token = self.param("cls_token", trunc_normal_init(0.02),
@@ -772,8 +786,15 @@ class MViTEncoder(nn.Module):
         dpr = np.linspace(0, c.drop_path_rate, c.depth)
         block_cls = MultiScaleBlock
         if self.remat:
-            block_cls = nn.remat(MultiScaleBlock, static_argnums=(2, 3),
-                                 prevent_cse=False)
+            # keep the pooled-attention kernel outputs (and the stem
+            # tokens) as residuals — re-running the Pallas kernels and the
+            # 3-D stem conv in the backward costs far more HBM/compute
+            # than storing the bf16 outputs
+            block_cls = nn.remat(
+                MultiScaleBlock, static_argnums=(2, 3), prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "flash_attn_out"),
+            )
         for i, spec in enumerate(plan):
             # thw comes from the static schedule (spec["input_size"]), not
             # the block's return value: under nn.remat the returned tuple
