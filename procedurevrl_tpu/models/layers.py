@@ -126,13 +126,21 @@ class DropPath(nn.Module):
             return x
         if isinstance(x, tuple):
             keep = 1.0 - self.rate
-            lead = x[0].shape[0]
-            assert all(e.shape[0] == lead for e in x)
+            lead = min(e.shape[0] for e in x)
+            assert all(e.shape[0] % lead == 0 for e in x)
             mask = jax.random.bernoulli(
                 self.make_rng("droppath"), keep, (lead,)
             )
             def apply(e):
-                m = mask.reshape((lead,) + (1,) * (e.ndim - 1))
-                return jnp.where(m, e / keep, jnp.zeros_like(e))
+                if e.shape[0] == lead:
+                    m = mask.reshape((lead,) + (1,) * (e.ndim - 1))
+                    return jnp.where(m, e / keep, jnp.zeros_like(e))
+                # per-SAMPLE mask on a [lead*k, ...] element: mask through
+                # a free leading-dim split view (same semantics as when
+                # the element was stored [lead, k*...])
+                f = e.reshape((lead, e.shape[0] // lead) + e.shape[1:])
+                m = mask.reshape((lead,) + (1,) * (f.ndim - 1))
+                return jnp.where(m, f / keep, jnp.zeros_like(f)).reshape(
+                    e.shape)
             return tuple(apply(e) for e in x)
         return drop_path(x, self.rate, False, self.make_rng("droppath"))

@@ -112,13 +112,23 @@ class DividedSTBlock(nn.Module):
             x = x + dp(mlp(norm2(x)), deterministic)
             return x
 
+        # the frame-token stream ``xt`` lives as [B*T, N, D] — the SPATIAL
+        # layout.  The temporal 4-D view [B, T, N, D] is a free
+        # leading-dim split of it, whereas the round-2 flat [B, T*N, D]
+        # residence needed a REAL copy to/from both attention layouts (the
+        # 4-D/spatial forms pad each N-row group to a sublane multiple;
+        # profiled at ~15 ms/step of pure reshape copies).
         split_input = isinstance(x, tuple)
         if split_input:
             init_cls, xt = x
         else:
             init_cls, xt = x[:, :1, :], x[:, 1:, :]
         B = init_cls.shape[0]
-        N = xt.shape[1] // T
+        if split_input:
+            N = xt.shape[1]
+        else:
+            N = xt.shape[1] // T
+            xt = xt.reshape(B * T, N, D)
 
         temporal_norm1 = LayerNormFp32(eps=self.norm_eps, name="temporal_norm1")
         temporal_attn = Attention(D, self.num_heads, self.qkv_bias, self.dtype,
@@ -127,33 +137,33 @@ class DividedSTBlock(nn.Module):
                                kernel_init=trunc_normal_init(0.02), name="temporal_fc")
 
         # ---- temporal attention over T per patch location ----
-        xt4 = xt.reshape(B, T, N, D)
+        xt4 = xt.reshape(B, T, N, D)  # free leading-dim split
         res_temporal = dp(
             temporal_attn(temporal_norm1(xt4), time_axis=True), deterministic
         )
-        res_temporal = temporal_fc(res_temporal.reshape(B, T * N, D))
-        xt = xt + res_temporal
+        res_temporal = temporal_fc(res_temporal)  # [B, T, N, D]
+        xt = xt + res_temporal.reshape(B * T, N, D)
 
         # ---- spatial attention over [cls] + H*W per frame ----
         cls_n = norm1(init_cls)  # [B, 1, D]
         cls_rep = jnp.broadcast_to(
             cls_n[:, None], (B, T, 1, D)
         ).reshape(B * T, 1, D)
-        res_frames, res_cls = attn(
-            norm1(xt.reshape(B * T, N, D)), cls_stream=cls_rep
-        )
+        res_frames, res_cls = attn(norm1(xt), cls_stream=cls_rep)
         # one shared per-(b,t) drop mask, as when cls+frames were one tensor
         res_frames, res_cls = dp((res_frames, res_cls), deterministic)
         cls_out = res_cls.reshape(B, T, D).mean(axis=1, keepdims=True)
-        xt = xt + res_frames.reshape(B, T * N, D)
+        xt = xt + res_frames
         cls = init_cls + cls_out
 
+        # DropPath applies the per-SAMPLE mask to the [B*T, N, D] stream
+        # through a free [B, T, N, D] view (models/layers.py)
         mlp_cls, mlp_xt = dp((mlp(norm2(cls)), mlp(norm2(xt))), deterministic)
         cls = cls + mlp_cls
         xt = xt + mlp_xt
         if split_input:
             return cls, xt
-        return jnp.concatenate([cls, xt], axis=1)
+        return jnp.concatenate([cls, xt.reshape(B, T * N, D)], axis=1)
 
 
 class TimeSformer(nn.Module):
@@ -242,9 +252,12 @@ class TimeSformer(nn.Module):
             cls = tokens[:B, :1, :]
             spatial = tokens[:, 1:, :].reshape(B, T, n_tok, D)
             spatial = spatial + te.astype(self.dtype)[:, :, None, :]
-            # (b t) n -> b (t n): time-major token order, no transpose;
-            # cls travels as a separate stream (no per-block concats)
-            tokens = (cls, spatial.reshape(B, T * n_tok, D))
+            # the stream stays in the SPATIAL residence [B*T, N, D]; the
+            # temporal [B, T, N, D] view is a free leading-dim split (the
+            # flat [B, T*N, D] form of earlier rounds copy-converts both
+            # ways because the padded N-row tiling differs); cls travels
+            # as a separate stream (no per-block concats)
+            tokens = (cls, spatial.reshape(B * T, n_tok, D))
             eff_T = T
         else:
             eff_T = 1
@@ -295,7 +308,9 @@ class TimeSformer(nn.Module):
         if isinstance(tokens, tuple):
             cls, xt = tokens
             if return_tokens:
-                return norm(jnp.concatenate([cls, xt], axis=1))
+                # back to the flat [B, 1 + T*N, D] contract for callers
+                flat = xt.reshape(B, xt.shape[0] // B * xt.shape[1], D)
+                return norm(jnp.concatenate([cls, flat], axis=1))
             # LN is per-token: norm(cls) == norm(concat)[:, 0]
             return norm(cls)[:, 0]
         tokens = norm(tokens)

@@ -196,20 +196,27 @@ def mhsa_temporal(
         if t <= MAX_TEMPORAL_T and _temporal_geometry(
             n, c, head_dim, num_heads, t, x.dtype.itemsize
         )[0] > 0:
+            # stay 4-D end to end: a [B, T*N, C] <-> [B, T, N, C] reshape
+            # is a real copy on TPU when N is not a sublane multiple (the
+            # 4-D layout pads each N-row group), so the projections run
+            # on the 4-D views directly
             qkv = jnp.einsum(
-                "bnc,cd->bnd", x.reshape(b, t * n, c), qkv_w.astype(x.dtype),
+                "btnc,cd->btnd", x, qkv_w.astype(x.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype)
             if qkv_b is not None:
                 qkv = qkv + qkv_b.astype(x.dtype)
             out = flash_attention_temporal(
-                qkv.reshape(b, t, n, 3 * c), num_heads, head_dim ** -0.5
+                qkv, num_heads, head_dim ** -0.5
             )
             from jax.ad_checkpoint import checkpoint_name
 
             out = checkpoint_name(out, "flash_attn_out")
-            return _out_project(out.reshape(b, t * n, c), proj_w, proj_b
-                                ).reshape(b, t, n, c)
+            out = jnp.einsum(
+                "btnc,cd->btnd", out, proj_w.astype(out.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(out.dtype)
+            return out + proj_b.astype(out.dtype)
     # XLA fallback: one explicit (T, N) transpose each way
     xt = x.transpose(0, 2, 1, 3).reshape(b * n, t, c)
     out = mhsa_xla(xt, qkv_w, qkv_b, proj_w, proj_b, num_heads)
