@@ -115,8 +115,19 @@ class GradCAM:
                         "path (e.g. 'blocks_11/norm1')"
                     )
                 main = out[0] if isinstance(out, tuple) else out
-                captured["act"] = main
-                patched = main + probes["p"]
+                # a module may run more than once per step with different
+                # shapes (the divided block norms the cls stream [B, 1, D]
+                # and the frame stream [B*T, N, D] separately): keep the
+                # LARGEST output as the cam activation and attach the
+                # probe only to shape-matching calls (the scalar zero
+                # probe of the capture pass attaches everywhere)
+                prev = captured.get("act")
+                if prev is None or main.size > prev.size:
+                    captured["act"] = main
+                p = probes["p"]
+                if p.ndim != 0 and p.shape != main.shape:
+                    return out
+                patched = main + p
                 if isinstance(out, tuple):
                     return (patched,) + out[1:]
                 return patched
@@ -176,6 +187,11 @@ class GradCAM:
 
         a = np.asarray(act, np.float32)
         g = np.asarray(grads, np.float32)
+        B = np.asarray(preds).shape[0]
+        if a.ndim == 3 and a.shape[0] != B and a.shape[0] % B == 0:
+            # spatial-residence stream [B*T, N, C] -> time-major [B, T*N, C]
+            a = a.reshape(B, -1, a.shape[-1])
+            g = g.reshape(B, -1, g.shape[-1])
         if a.ndim == 3:  # token stream [B, N(+1), C]
             grid = self.token_grid or self._infer_grid(a.shape[1])
             if grid is None:
