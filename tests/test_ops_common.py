@@ -89,3 +89,37 @@ def test_drop_path_scaling():
     # survivors are rescaled by 1/keep
     np.testing.assert_allclose(np.asarray(out)[kept][:, 0], 1 / 0.7, rtol=1e-5)
     assert 0.6 < kept.mean() < 0.8
+
+
+def test_grouped_layer_norm_matches_reshape_reference():
+    """grouped_layer_norm_fp32 (per-head stats via structured MXU dots in
+    the head-last layout) == LayerNorm over a [.., H, d] reshape view,
+    values and grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from procedurevrl_tpu.ops.common import (
+        grouped_layer_norm_fp32, layer_norm_fp32_vpu,
+    )
+
+    rng = np.random.RandomState(11)
+    H, d = 4, 96
+    x = jnp.asarray(rng.randn(3, 50, H * d).astype(np.float32))
+    sc = jnp.asarray(rng.randn(d).astype(np.float32))
+    bi = jnp.asarray(rng.randn(d).astype(np.float32))
+    ref = layer_norm_fp32_vpu(
+        x.reshape(3, 50, H, d), sc, bi, 1e-6).reshape(3, 50, H * d)
+    out = grouped_layer_norm_fp32(x, sc, bi, H, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    f1 = lambda x, s, b: jnp.sum(jnp.sin(
+        grouped_layer_norm_fp32(x, s, b, H, 1e-6)))
+    f2 = lambda x, s, b: jnp.sum(jnp.sin(
+        layer_norm_fp32_vpu(x.reshape(3, 50, H, d), s, b, 1e-6)))
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(x, sc, bi)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(x, sc, bi)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b).reshape(np.asarray(a).shape),
+            atol=3e-5, rtol=3e-5)
