@@ -491,7 +491,9 @@ class MultiScaleAttention(nn.Module):
                            preferred_element_type=jnp.float32)
         import os
 
-        from procedurevrl_tpu.ops.pallas_mvit_attention import hl_supported
+        from procedurevrl_tpu.ops.pallas_mvit_attention import (
+            hl_supported, kt_supported as _kt_supported,
+        )
 
         # MVIT_HL=0 forces the per-head kernel (head-split at this
         # boundary) while keeping the head-last pooling/layout elsewhere
@@ -508,10 +510,29 @@ class MultiScaleAttention(nn.Module):
             # saved as a remat residual: re-running the attention kernel
             # in the backward costs far more than storing [B, qN, C] bf16
             out_body = checkpoint_name(out_body, "flash_attn_out")
+        elif os.environ.get("MVIT_KT", "0") == "1" and os.environ.get(
+                "MVIT_HL", "1") != "0" and _kt_supported(C, H):
+            # opt-in (MVIT_KT=1): k-tiled online-softmax variant keeps the
+            # head-last layout through the wide-key blocks (no fold/unfold
+            # transposes), but its fitting VMEM geometries run the chunk
+            # loop at MXU-starved tile sizes — measured ~50% slower than
+            # the per-head whole-key kernel on v5e (BASELINE.md round 3)
+            from procedurevrl_tpu.ops.pallas_mvit_attention import (
+                flash_attention_mvit_hl_kt,
+            )
+
+            pack = lambda r, kk: r.astype(jnp.float32).reshape(B, qn, H * kk)
+            out_body = flash_attention_mvit_hl_kt(
+                qb, kb, vb, kc, vc,
+                pack(rel_t, k_t), pack(rel_h, k_h), pack(rel_w, k_w),
+                (k_t, k_h, k_w), H, float(scale),
+            )
+            from jax.ad_checkpoint import checkpoint_name
+
+            out_body = checkpoint_name(out_body, "flash_attn_out")
         else:
-            # wide key sets exceed the head-last kernel's scoped-VMEM
-            # geometry (rare stage-transition blocks): run the per-head
-            # kernel, head-splitting only at this boundary
+            # default wide-key path: per-head whole-key kernel with
+            # head-split fold/unfold only at this boundary
             from procedurevrl_tpu.ops.pallas_mvit_attention import (
                 flash_attention_mvit,
             )

@@ -511,6 +511,365 @@ def _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale,
             ungr(drw, k_w).astype(rel_w.dtype))
 
 
+# ---------------------------------------------------------------------------
+# K-TILED head-last variant (online softmax) for the wide-key blocks.
+#
+# The stage-transition blocks (kN = 1568 -> KP = 1664) exceed the whole-key
+# head-last geometry (``_hl_geometry`` needs ~14 live fp32 [TQ, KP] sheets),
+# so round 2/3 fell back to the per-head kernel there — paying the
+# [B, L, H*d] -> [B*H, L, d] fold/unfold transposes this layout exists to
+# avoid, plus a full K/V re-DMA per (batch*head, q-tile) grid step.  This
+# variant processes the key axis in 128-multiple chunks with the standard
+# flash running (max, denominator, accumulator) triple, so the live fp32
+# sheets shrink from [TQ, KP] to [TQ, KC] and the full-width head-last
+# layout fits scoped VMEM at any key width.  The forward additionally saves
+# the per-head log-sum-exp rows ([B, head-groups, qN, hg] fp32, trivial
+# HBM) so the backward reconstitutes probabilities per chunk as
+# ``exp(s - lse)`` without an extra stats pass.
+#
+# MEASURED OUTCOME (v5e, BASELINE.md round 3): the VMEM geometries that
+# actually fit on hardware run the backward chunk loop at tiles too small
+# for the MXU (the fp32 [KP, w] dk/dv accumulator blocks dominate the
+# scoped budget), and the kernel measures ~50% slower fwd+bwd than the
+# per-head whole-key kernel at both reference wide-key geometries — while
+# the fold/unfold copies it avoids are only ~1-3 ms/step.  The path is
+# kept correct + tested but OPT-IN (MVIT_KT=1); the per-head kernel
+# remains the default wide-key path.
+# ---------------------------------------------------------------------------
+
+
+def _hl_kt_geometry(kp: int, C: int, H: int, d: int):
+    """(hg, w, (tq_f, kc_f), (tq_b, kc_b)) for the k-tiled kernel.
+
+    The head-group width hg is shared (the saved lse layout depends on
+    it); the query-tile/key-chunk pair is per direction.  Geometries are
+    an EMPIRICAL table calibrated against Mosaic's measured scoped-VMEM
+    allocations on v5e at the reference wide-key shapes (kN=1568): an
+    analytic stack model does not reproduce Mosaic's allocator — e.g.
+    halving TQ at w=192/KC=512 shrank the reported allocation by only
+    50 KB — so only measured-fitting points are encoded.  The backward
+    carries fp32 [KP, w] dk/dv accumulator blocks, which is what pins
+    the backward tiles this small (and MXU-starves the chunk loop; see
+    BASELINE.md round 3 — this kernel measures ~50% slower than the
+    per-head whole-key kernel and stays opt-in).
+
+    Only single-group geometries (hg == H) are offered: with hgn > 1 the
+    dk/dv accumulator blocks revisit along the group grid axis and Mosaic
+    double-buffers them, which re-OOMs even the smallest tiles (measured:
+    H=8/hg=4 exceeds the budget by 256 KB at TQ=KC=128).  H=8 wide-key
+    blocks therefore fall back to the per-head kernel even under
+    MVIT_KT=1 (see :func:`kt_supported`)."""
+    w = H * d
+    if w % 128 and w != C:
+        return None
+    if w <= 384:
+        # (256, 128) fits in isolation at w=192 but exceeds the budget by
+        # 124 KB inside the full compiled train step; TQ=KC=128 is the
+        # one point with enough margin to survive surrounding fusions
+        return H, w, (256, 512), (128, 128)
+    return None
+
+
+def kt_supported(C: int, H: int) -> bool:
+    """Whether the k-tiled kernel has a calibrated geometry for this block."""
+    return _hl_kt_geometry(0, C, H, C // H) is not None
+
+
+def _kt_round(kn: int, kc: int) -> int:
+    """Padded key extent: a kc-multiple so the chunk loop is uniform."""
+    return _round_up(kn + 1, kc)
+
+
+def _kt_expanders(k_shape, kp: int):
+    """Transposed 0/1 expanders [KP, k_*]: the chunk loop slices SUBLANES
+    (dynamic sublane offsets are cheap; dynamic lane offsets are not)."""
+    return tuple(e.T.copy() for e in expanders(k_shape, kp))
+
+
+def _kt_splice(k, kc, kp: int):
+    """Append the cls row and zero padding OUTSIDE the kernel (plain XLA
+    concat): row kn is the cls key/value, rows kn+1..kp are zeros.  One
+    extra HBM round-trip of K/V per call, but the kernel sheds the
+    in-kernel splice plus a [KP, w] VMEM scratch copy, and padding rows
+    are true zeros (no 0 * garbage NaN hazards)."""
+    B, kn, C = k.shape
+    pad = jnp.zeros((B, kp - kn - 1, C), k.dtype)
+    return jnp.concatenate([k, kc.astype(k.dtype), pad], axis=1)
+
+
+def _fwd_hl_kt_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref,
+                      rw_ref, et_ref, eh_ref, ew_ref, o_ref, lse_ref,
+                      *, scale: float, qn: int, kn: int,
+                      d: int, H: int, k_shape, kc: int, nchunks: int):
+    k_t, k_h, k_w = k_shape
+    tq = q_ref.shape[1]
+    lses = []
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0][:, sl]
+        rt = rt_ref[0, 0][:, h * k_t:(h + 1) * k_t]
+        rh = rh_ref[0, 0][:, h * k_h:(h + 1) * k_h]
+        rw = rw_ref[0, 0][:, h * k_w:(h + 1) * k_w]
+
+        def body(c, carry):
+            m, l, acc = carry
+            c0 = c * kc
+            rows = pl.dslice(c0, kc)
+            kcnk = k_ref[0, rows, sl]
+            vcnk = v_ref[0, rows, sl]
+            et = et_ref[rows, :]
+            eh = eh_ref[rows, :]
+            ew = ew_ref[rows, :]
+            s = jax.lax.dot_general(
+                q, kcnk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s += jax.lax.dot_general(rt, et, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            s += jax.lax.dot_general(rh, eh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            s += jax.lax.dot_general(rw, ew, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c0
+            s = jnp.where(col <= kn, s, -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p.astype(vcnk.dtype), vcnk,
+                                        preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        m0 = jnp.full((tq, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((tq, 1), jnp.float32)
+        a0 = jnp.zeros((tq, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nchunks, body, (m0, l0, a0))
+        o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
+        lses.append(m + jnp.log(l))
+    lse_ref[0, 0] = jnp.concatenate(lses, axis=1)
+
+
+def _bwd_hl_kt_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref,
+                      rw_ref, et_ref, eh_ref, ew_ref, o_ref, lse_ref, g_ref,
+                      dq_ref, dkf_ref, dvf_ref, drt_ref, drh_ref, drw_ref,
+                      *, scale: float, qn: int, kn: int,
+                      d: int, H: int, k_shape, tq: int, kc: int,
+                      nchunks: int):
+    k_t, k_h, k_w = k_shape
+    qt = pl.program_id(2)
+    nvalid = _valid_rows(qt, qn, tq)
+
+    @pl.when(qt == 0)
+    def _init():
+        dkf_ref[0] = jnp.zeros_like(dkf_ref[0])
+        dvf_ref[0] = jnp.zeros_like(dvf_ref[0])
+
+    qf = _mask_rows(q_ref[0], nvalid)
+    gf = _mask_rows(g_ref[0], nvalid)
+    # ragged-tail rows of the saved output are undefined (NaN in interpret
+    # mode); 0-masked g alone cannot save delta from 0 * NaN
+    of = _mask_rows(o_ref[0], nvalid)
+    lse_full = lse_ref[0, 0]  # [tq, H] fp32
+    lane = jax.lax.broadcasted_iota(jnp.int32, lse_full.shape, 1)
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = qf[:, sl]
+        g = gf[:, sl].astype(jnp.float32)
+        # lane-select the head's lse column ([tq, 1] at lane offset h
+        # cannot be sliced+broadcast directly — reduce a masked full row)
+        lse_h = jnp.sum(jnp.where(lane == h, lse_full, 0.0), axis=1,
+                        keepdims=True)
+        delta = jnp.sum(g * of[:, sl].astype(jnp.float32), axis=1,
+                        keepdims=True)
+        rt = _mask_rows(rt_ref[0, 0][:, h * k_t:(h + 1) * k_t], nvalid)
+        rh = _mask_rows(rh_ref[0, 0][:, h * k_h:(h + 1) * k_h], nvalid)
+        rw = _mask_rows(rw_ref[0, 0][:, h * k_w:(h + 1) * k_w], nvalid)
+
+        def body(c, carry):
+            dq, drt, drh, drw = carry
+            c0 = c * kc
+            rows = pl.dslice(c0, kc)
+            kcnk = k_ref[0, rows, sl]
+            vcnk = v_ref[0, rows, sl]
+            et = et_ref[rows, :]
+            eh = eh_ref[rows, :]
+            ew = ew_ref[rows, :]
+            s = jax.lax.dot_general(
+                q, kcnk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s += jax.lax.dot_general(rt, et, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            s += jax.lax.dot_general(rh, eh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            s += jax.lax.dot_general(rw, ew, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c0
+            s = jnp.where(col <= kn, s, -1e30)
+            # ragged-tail q rows carry garbage lse — mask p rows so the
+            # dv/dk contractions stay NaN-free
+            p = _mask_rows(jnp.exp(s - lse_h), nvalid)
+            dv = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(g, vcnk.astype(jnp.float32),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)  # [tq, kc]
+            dq += jax.lax.dot_general(ds, kcnk.astype(jnp.float32),
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dkf_ref[0, rows, sl] += dk * scale
+            dvf_ref[0, rows, sl] += dv
+            drt += jax.lax.dot_general(ds, et, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            drh += jax.lax.dot_general(ds, eh, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            drw += jax.lax.dot_general(ds, ew, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            return dq, drt, drh, drw
+
+        z = lambda n: jnp.zeros((tq, n), jnp.float32)
+        dq, drt, drh, drw = jax.lax.fori_loop(
+            0, nchunks, body, (z(d), z(k_t), z(k_h), z(k_w)))
+        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
+        drt_ref[0, 0, :, h * k_t:(h + 1) * k_t] = drt.astype(drt_ref.dtype)
+        drh_ref[0, 0, :, h * k_h:(h + 1) * k_h] = drh.astype(drh_ref.dtype)
+        drw_ref[0, 0, :, h * k_w:(h + 1) * k_w] = drw.astype(drw_ref.dtype)
+
+
+def _lse_spec(tq: int, hg: int):
+    return pl.BlockSpec((1, 1, tq, hg), lambda b, g, t: (b, g, t, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _kt_espec(kp: int, kk: int):
+    return pl.BlockSpec((kp, kk), lambda b, g, t: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
+               scale):
+    B, qn, C = q.shape
+    d = C // num_heads
+    kn = k.shape[1]
+    k_t, k_h, k_w = k_shape
+    hg, w, (tq, kcw), _ = _hl_kt_geometry(
+        _round_up(kn + 1, 128), C, num_heads, d)
+    kp = _kt_round(kn, kcw)
+    ksp = _kt_splice(k, kc, kp)
+    vsp = _kt_splice(v, vc, kp)
+    e_t, e_h, e_w = (jnp.asarray(e) for e in _kt_expanders(k_shape, kp))
+    hgn = num_heads // hg
+    greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
+    qs, ks, cs, rspec, _, _, _ = _specs_hl(qn, kp, w, k_shape, tq)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_hl_kt_kernel, scale=scale, qn=qn, kn=kn, d=d,
+                          H=hg, k_shape=k_shape, kc=kcw, nchunks=kp // kcw),
+        grid=(B, hgn, (qn + tq - 1) // tq),
+        in_specs=[qs, ks, ks,
+                  rspec(hg * k_t), rspec(hg * k_h),
+                  rspec(hg * k_w), _kt_espec(kp, k_t), _kt_espec(kp, k_h),
+                  _kt_espec(kp, k_w)],
+        out_specs=[qs, _lse_spec(tq, hg)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, qn, C), q.dtype),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * qn * kp * d,
+            bytes_accessed=2 * B * qn * C * q.dtype.itemsize,
+            transcendentals=B * num_heads * qn * kp,
+        ),
+        interpret=_interpret(),
+    )(q, ksp, vsp, greg(rel_t, k_t), greg(rel_h, k_h), greg(rel_w, k_w),
+      e_t, e_h, e_w)
+    return out, lse
+
+
+def _bwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, out, lse, k_shape,
+               num_heads, scale, g):
+    B, qn, C = q.shape
+    d = C // num_heads
+    kn = k.shape[1]
+    k_t, k_h, k_w = k_shape
+    hg, w, _, (tq, kcw) = _hl_kt_geometry(
+        _round_up(kn + 1, 128), C, num_heads, d)
+    kp = _kt_round(kn, kcw)
+    ksp = _kt_splice(k, kc, kp)
+    vsp = _kt_splice(v, vc, kp)
+    e_t, e_h, e_w = (jnp.asarray(e) for e in _kt_expanders(k_shape, kp))
+    hgn = num_heads // hg
+    greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
+    qs, ks, cs, rspec, _, _, _ = _specs_hl(qn, kp, w, k_shape, tq)
+    kacc = pl.BlockSpec((1, kp, w), lambda b, g, t: (b, 0, g),
+                        memory_space=pltpu.VMEM)
+    dq, dkf, dvf, drt, drh, drw = pl.pallas_call(
+        functools.partial(_bwd_hl_kt_kernel, scale=scale, qn=qn, kn=kn, d=d,
+                          H=hg, k_shape=k_shape, tq=tq, kc=kcw,
+                          nchunks=kp // kcw),
+        grid=(B, hgn, (qn + tq - 1) // tq),
+        in_specs=[qs, ks, ks,
+                  rspec(hg * k_t), rspec(hg * k_h),
+                  rspec(hg * k_w), _kt_espec(kp, k_t), _kt_espec(kp, k_h),
+                  _kt_espec(kp, k_w), qs, _lse_spec(tq, hg), qs],
+        out_specs=[qs, kacc, kacc,
+                   rspec(hg * k_t), rspec(hg * k_h),
+                   rspec(hg * k_w)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, qn, C), q.dtype),
+            jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_t), jnp.float32),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_h), jnp.float32),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_w), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * num_heads * qn * kp * d,
+            bytes_accessed=6 * B * qn * C * q.dtype.itemsize,
+            transcendentals=B * num_heads * qn * kp,
+        ),
+        interpret=_interpret(),
+    )(q, ksp, vsp, greg(rel_t, k_t), greg(rel_h, k_h), greg(rel_w, k_w),
+      e_t, e_h, e_w, out, lse, g)
+    dk = dkf[:, :kn].astype(k.dtype)
+    dv = dvf[:, :kn].astype(v.dtype)
+    dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
+    dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
+    ungr = lambda r, kk: r.transpose(0, 2, 1, 3).reshape(
+        B, qn, num_heads * kk)
+    return (dq, dk, dv, dkc, dvc, ungr(drt, k_t).astype(rel_t.dtype),
+            ungr(drh, k_h).astype(rel_h.dtype),
+            ungr(drw, k_w).astype(rel_w.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def flash_attention_mvit_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
+                               num_heads, scale):
+    """K-tiled head-last pooled attention (wide key sets): same contract as
+    :func:`flash_attention_mvit_hl`, any kN for which ``_hl_kt_geometry``
+    resolves (all reference MViT geometries do)."""
+    out, _ = _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
+                        num_heads, scale)
+    return out
+
+
+def _vjp_hl_kt_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
+                   scale):
+    out, lse = _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
+                          num_heads, scale)
+    return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w, out, lse)
+
+
+def _vjp_hl_kt_bwd(k_shape, num_heads, scale, res, g):
+    return _bwd_hl_kt(*res, k_shape, num_heads, scale, g)
+
+
+flash_attention_mvit_hl_kt.defvjp(_vjp_hl_kt_fwd, _vjp_hl_kt_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def flash_attention_mvit_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
                             num_heads, scale):

@@ -142,3 +142,57 @@ def test_mvit_hl_kernel_head_groups():
         *[hl(t) for t in tensors], k_shape, H, scale,
     )).reshape(B, qn, H, d).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(out, np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_mvit_hl_kt_kernel_matches_per_head_kernel():
+    """flash_attention_mvit_hl_kt (k-tiled online softmax) reproduces
+    flash_attention_mvit at the real wide-key geometry (kN=1568 -> four
+    ragged key chunks), fwd and grads, across multiple query tiles."""
+    from procedurevrl_tpu.ops.pallas_mvit_attention import (
+        _hl_kt_geometry, _round_up, flash_attention_mvit,
+        flash_attention_mvit_hl_kt,
+    )
+
+    B, H, d = 1, 2, 96
+    q_shape, k_shape = (6, 10, 10), (8, 14, 14)
+    qn, kn = int(np.prod(q_shape)), int(np.prod(k_shape))
+    kp = _round_up(kn + 1, 128)
+    hg, w, (tq_f, _), (tq_b, _) = _hl_kt_geometry(kp, H * d, H, d)
+    # ragged/multi-tile coverage in both directions
+    assert qn > tq_b or qn % tq_b, (tq_b, qn)
+    assert qn % tq_f, (tq_f, qn)
+
+    rng = np.random.RandomState(7)
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k, v = mk(B, H, qn, d), mk(B, H, kn, d), mk(B, H, kn, d)
+    kc, vc = mk(B, H, 1, d), mk(B, H, 1, d)
+    rt, rh, rw = (mk(B, H, qn, kk) for kk in k_shape)
+    scale = d ** -0.5
+    fold = lambda x: jnp.asarray(x.reshape(B * H, x.shape[2], x.shape[3]))
+    hl = lambda x: jnp.asarray(
+        np.transpose(x, (0, 2, 1, 3)).reshape(B, x.shape[2], H * x.shape[3]))
+    tensors = (q, k, v, kc, vc, rt, rh, rw)
+
+    ref = flash_attention_mvit(*[fold(t) for t in tensors], k_shape,
+                               scale).reshape(B, H, qn, d)
+    out = np.asarray(flash_attention_mvit_hl_kt(
+        *[hl(t) for t in tensors], k_shape, H, scale,
+    )).reshape(B, qn, H, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def loss_ref(*args):
+        return jnp.sum(jnp.sin(flash_attention_mvit(*args, k_shape, scale)))
+
+    def loss_kt(*args):
+        return jnp.sum(jnp.sin(
+            flash_attention_mvit_hl_kt(*args, k_shape, H, scale)))
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(
+        *[fold(t) for t in tensors])
+    g_kt = jax.grad(loss_kt, argnums=tuple(range(8)))(
+        *[hl(t) for t in tensors])
+    for i, (a, b) in enumerate(zip(g_kt, g_ref)):
+        bb = np.asarray(b).reshape(B, H, b.shape[1], b.shape[2]).transpose(
+            0, 2, 1, 3).reshape(np.asarray(a).shape)
+        np.testing.assert_allclose(np.asarray(a), bb, atol=5e-5, rtol=5e-5,
+                                   err_msg=f"grad arg {i}")
