@@ -8,7 +8,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from procedurevrl_tpu.ops.common import drop_path, gelu_exact, layer_norm_fp32, trunc_normal_init
+from procedurevrl_tpu.ops.common import (
+    drop_path, gelu_exact, gelu_exact_stored, layer_norm_fp32,
+    trunc_normal_init,
+)
 from procedurevrl_tpu.ops.attention import mhsa, mhsa_cls, mhsa_temporal
 
 
@@ -35,17 +38,27 @@ class Mlp(nn.Module):
 
     hidden_dim: int
     out_dim: int
-    act: Callable = gelu_exact
+    act: Optional[Callable] = None  # default: stored-derivative exact GELU
     dtype: jnp.dtype = jnp.float32
     fc1_init: Optional[Callable] = None
     fc2_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
+        # GELU_STORED=1 opts into the stored-derivative GELU
+        # (ops/common.py): ~40% faster in isolation, but measured NEUTRAL
+        # to slightly negative end-to-end (82.4-82.6 vs 83.05 clips/sec) —
+        # the residual's HBM round-trip plus the custom_vjp fusion
+        # boundary eat the transcendental savings. Values identical.
+        act = self.act or (
+            gelu_exact_stored if os.environ.get("GELU_STORED") == "1"
+            else gelu_exact)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=self.fc1_init or trunc_normal_init(0.02),
                      name="fc1")(x)
-        x = self.act(x)
+        x = act(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype,
                      kernel_init=self.fc2_init or trunc_normal_init(0.02),
                      name="fc2")(x)

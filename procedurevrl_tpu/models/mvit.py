@@ -814,7 +814,7 @@ class MViTEncoder(nn.Module):
             block_cls = nn.remat(
                 MultiScaleBlock, static_argnums=(2, 3), prevent_cse=False,
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "flash_attn_out"),
+                    "flash_attn_out", "gelu_grad"),
             )
         for i, spec in enumerate(plan):
             # thw comes from the static schedule (spec["input_size"]), not

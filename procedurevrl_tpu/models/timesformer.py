@@ -274,7 +274,10 @@ class TimeSformer(nn.Module):
             # HBM footprint, for fitting larger batches).
             names = ()
             if self.remat_save_attn:
-                names += ("flash_attn_out",)
+                # gelu_grad: the stored GELU derivative (ops/common.py,
+                # gelu_exact_stored) — keeping it is the entire point of
+                # computing it in the forward
+                names += ("flash_attn_out", "gelu_grad")
             if self.remat_save_qkv:
                 names += ("qkv_out",)
             if self.remat_save_temporal:

