@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -13,6 +14,15 @@ from procedurevrl_tpu.ops.common import (
     trunc_normal_init,
 )
 from procedurevrl_tpu.ops.attention import mhsa, mhsa_cls, mhsa_temporal
+
+# GELU_STORED=1 opts into the stored-derivative GELU (ops/common.py):
+# ~40% faster in isolation, but measured NEUTRAL to slightly negative
+# end-to-end (82.4-82.6 vs 83.05 clips/sec) — the residual's HBM
+# round-trip plus the custom_vjp fusion boundary eat the transcendental
+# savings. Values identical. Read ONCE at import: toggling the env var
+# after the first trace would otherwise be silently ignored by the jit
+# cache (ablation harnesses must set it at process start).
+_GELU_STORED = os.environ.get("GELU_STORED") == "1"
 
 
 class LayerNormFp32(nn.Module):
@@ -45,16 +55,7 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        import os
-
-        # GELU_STORED=1 opts into the stored-derivative GELU
-        # (ops/common.py): ~40% faster in isolation, but measured NEUTRAL
-        # to slightly negative end-to-end (82.4-82.6 vs 83.05 clips/sec) —
-        # the residual's HBM round-trip plus the custom_vjp fusion
-        # boundary eat the transcendental savings. Values identical.
-        act = self.act or (
-            gelu_exact_stored if os.environ.get("GELU_STORED") == "1"
-            else gelu_exact)
+        act = self.act or (_GELU_STORED and gelu_exact_stored or gelu_exact)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=self.fc1_init or trunc_normal_init(0.02),
                      name="fc1")(x)

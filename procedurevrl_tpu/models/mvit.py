@@ -491,25 +491,22 @@ class MultiScaleAttention(nn.Module):
                            preferred_element_type=jnp.float32)
         import os
 
+        from jax.ad_checkpoint import checkpoint_name
+
         from procedurevrl_tpu.ops.pallas_mvit_attention import (
             hl_supported, kt_supported as _kt_supported,
         )
 
+        pack = lambda r, kk: r.astype(jnp.float32).reshape(B, qn, H * kk)
         # MVIT_HL=0 forces the per-head kernel (head-split at this
         # boundary) while keeping the head-last pooling/layout elsewhere
         if hl_supported(kb.shape[1], C, H) and os.environ.get(
                 "MVIT_HL", "1") != "0":
-            pack = lambda r, kk: r.astype(jnp.float32).reshape(B, qn, H * kk)
             out_body = flash_attention_mvit_hl(
                 qb, kb, vb, kc, vc,
                 pack(rel_t, k_t), pack(rel_h, k_h), pack(rel_w, k_w),
                 (k_t, k_h, k_w), H, float(scale),
             )
-            from jax.ad_checkpoint import checkpoint_name
-
-            # saved as a remat residual: re-running the attention kernel
-            # in the backward costs far more than storing [B, qN, C] bf16
-            out_body = checkpoint_name(out_body, "flash_attn_out")
         elif os.environ.get("MVIT_KT", "0") == "1" and os.environ.get(
                 "MVIT_HL", "1") != "0" and _kt_supported(C, H):
             # opt-in (MVIT_KT=1): k-tiled online-softmax variant keeps the
@@ -521,15 +518,11 @@ class MultiScaleAttention(nn.Module):
                 flash_attention_mvit_hl_kt,
             )
 
-            pack = lambda r, kk: r.astype(jnp.float32).reshape(B, qn, H * kk)
             out_body = flash_attention_mvit_hl_kt(
                 qb, kb, vb, kc, vc,
                 pack(rel_t, k_t), pack(rel_h, k_h), pack(rel_w, k_w),
                 (k_t, k_h, k_w), H, float(scale),
             )
-            from jax.ad_checkpoint import checkpoint_name
-
-            out_body = checkpoint_name(out_body, "flash_attn_out")
         else:
             # default wide-key path: per-head whole-key kernel with
             # head-split fold/unfold only at this boundary
@@ -547,9 +540,9 @@ class MultiScaleAttention(nn.Module):
                 foldr(rel_t, k_t), foldr(rel_h, k_h), foldr(rel_w, k_w),
                 (k_t, k_h, k_w), float(scale),
             ).reshape(B, H, qn, d).transpose(0, 2, 1, 3).reshape(B, qn, C)
-            from jax.ad_checkpoint import checkpoint_name
-
-            out_body = checkpoint_name(out_body, "flash_attn_out")
+        # saved as a remat residual: re-running the attention kernel in
+        # the backward costs far more than storing [B, qN, C] bf16
+        out_body = checkpoint_name(out_body, "flash_attn_out")
         # cls query: one row over the full (cls-first) key set, no rel bias
         qc5 = qc.reshape(B, 1, H, d)
         k5 = k.reshape(B, k.shape[1], H, d)
@@ -814,7 +807,7 @@ class MViTEncoder(nn.Module):
             block_cls = nn.remat(
                 MultiScaleBlock, static_argnums=(2, 3), prevent_cse=False,
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "flash_attn_out", "gelu_grad"),
+                    "flash_attn_out", "flash_attn_lse", "gelu_grad"),
             )
         for i, spec in enumerate(plan):
             # thw comes from the static schedule (spec["input_size"]), not

@@ -538,7 +538,7 @@ def _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale,
 # ---------------------------------------------------------------------------
 
 
-def _hl_kt_geometry(kp: int, C: int, H: int, d: int):
+def _hl_kt_geometry(C: int, H: int, d: int):
     """(hg, w, (tq_f, kc_f), (tq_b, kc_b)) for the k-tiled kernel.
 
     The head-group width hg is shared (the saved lse layout depends on
@@ -572,7 +572,7 @@ def _hl_kt_geometry(kp: int, C: int, H: int, d: int):
 
 def kt_supported(C: int, H: int) -> bool:
     """Whether the k-tiled kernel has a calibrated geometry for this block."""
-    return _hl_kt_geometry(0, C, H, C // H) is not None
+    return _hl_kt_geometry(C, H, C // H) is not None
 
 
 def _kt_round(kn: int, kc: int) -> int:
@@ -756,8 +756,11 @@ def _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
     d = C // num_heads
     kn = k.shape[1]
     k_t, k_h, k_w = k_shape
-    hg, w, (tq, kcw), _ = _hl_kt_geometry(
-        _round_up(kn + 1, 128), C, num_heads, d)
+    geo = _hl_kt_geometry(C, num_heads, d)
+    assert geo is not None, (
+        f"flash_attention_mvit_hl_kt: no calibrated geometry for C={C}, "
+        f"H={num_heads} (see kt_supported); use flash_attention_mvit")
+    hg, w, (tq, kcw), _ = geo
     kp = _kt_round(kn, kcw)
     ksp = _kt_splice(k, kc, kp)
     vsp = _kt_splice(v, vc, kp)
@@ -795,8 +798,7 @@ def _bwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, out, lse, k_shape,
     d = C // num_heads
     kn = k.shape[1]
     k_t, k_h, k_w = k_shape
-    hg, w, _, (tq, kcw) = _hl_kt_geometry(
-        _round_up(kn + 1, 128), C, num_heads, d)
+    hg, w, _, (tq, kcw) = _hl_kt_geometry(C, num_heads, d)
     kp = _kt_round(kn, kcw)
     ksp = _kt_splice(k, kc, kp)
     vsp = _kt_splice(v, vc, kp)
@@ -849,8 +851,10 @@ def _bwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, out, lse, k_shape,
 def flash_attention_mvit_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
                                num_heads, scale):
     """K-tiled head-last pooled attention (wide key sets): same contract as
-    :func:`flash_attention_mvit_hl`, any kN for which ``_hl_kt_geometry``
-    resolves (all reference MViT geometries do)."""
+    :func:`flash_attention_mvit_hl` for the geometries ``kt_supported``
+    accepts (single head-group, w <= 384 — the reference H=8 wide-key
+    blocks are NOT supported and must use :func:`flash_attention_mvit`;
+    the model dispatch in models/mvit.py gates on ``kt_supported``)."""
     out, _ = _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
                         num_heads, scale)
     return out
@@ -858,8 +862,14 @@ def flash_attention_mvit_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
 
 def _vjp_hl_kt_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
                    scale):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, lse = _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
                           num_heads, scale)
+    # named so remat policies can keep it: without the saved lse the
+    # backward would rebuild the forward kernel just to regenerate it
+    # (models/mvit.py lists "flash_attn_lse" alongside "flash_attn_out")
+    lse = checkpoint_name(lse, "flash_attn_lse")
     return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w, out, lse)
 
 

@@ -149,15 +149,13 @@ def test_mvit_hl_kt_kernel_matches_per_head_kernel():
     flash_attention_mvit at the real wide-key geometry (kN=1568 -> four
     ragged key chunks), fwd and grads, across multiple query tiles."""
     from procedurevrl_tpu.ops.pallas_mvit_attention import (
-        _hl_kt_geometry, _round_up, flash_attention_mvit,
-        flash_attention_mvit_hl_kt,
+        _hl_kt_geometry, flash_attention_mvit, flash_attention_mvit_hl_kt,
     )
 
     B, H, d = 1, 2, 96
     q_shape, k_shape = (6, 10, 10), (8, 14, 14)
     qn, kn = int(np.prod(q_shape)), int(np.prod(k_shape))
-    kp = _round_up(kn + 1, 128)
-    hg, w, (tq_f, _), (tq_b, _) = _hl_kt_geometry(kp, H * d, H, d)
+    hg, w, (tq_f, _), (tq_b, _) = _hl_kt_geometry(H * d, H, d)
     # ragged/multi-tile coverage in both directions
     assert qn > tq_b or qn % tq_b, (tq_b, qn)
     assert qn % tq_f, (tq_f, qn)
@@ -196,3 +194,54 @@ def test_mvit_hl_kt_kernel_matches_per_head_kernel():
             0, 2, 1, 3).reshape(np.asarray(a).shape)
         np.testing.assert_allclose(np.asarray(a), bb, atol=5e-5, rtol=5e-5,
                                    err_msg=f"grad arg {i}")
+
+
+def test_mvit_kt_model_dispatch(monkeypatch):
+    """MVIT_KT=1 routes the wide-key block through the k-tiled kernel at
+    the MODEL level (MultiScaleAttention dispatch): outputs and grads
+    match the default per-head path.  Covers the dispatch wiring (pack
+    layout, scale cast, kt_supported gate) that the direct-kernel tests
+    bypass."""
+    from procedurevrl_tpu.ops.pallas_mvit_attention import (
+        hl_supported, kt_supported,
+    )
+
+    thw = (8, 14, 14)
+    dim, H = 192, 2
+    # wide key set: whole-key head-last geometry must be infeasible so the
+    # default path is the per-head kernel and MVIT_KT=1 picks the k-tiled
+    assert not hl_supported(int(np.prod(thw)), dim, H)
+    assert kt_supported(dim, H)
+
+    attn = MultiScaleAttention(
+        dim=dim, dim_out=dim, input_size=thw, num_heads=H,
+        qkv_bias=True, kernel_q=(), kernel_kv=(3, 3, 3), stride_q=(),
+        stride_kv=(1, 1, 1), mode="conv", has_cls_embed=True,
+        rel_pos_spatial=True, rel_pos_temporal=True, residual_pooling=True,
+        use_pallas=True,
+    )
+    N = 1 + int(np.prod(thw))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, N, dim) * 0.5, jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), x, thw)["params"]
+
+    def loss(params, x):
+        out, _ = attn.apply({"params": params}, x, thw)
+        return jnp.sum(jnp.sin(out))
+
+    monkeypatch.delenv("MVIT_KT", raising=False)
+    ref, _ = attn.apply({"params": params}, x, thw)
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+
+    monkeypatch.setenv("MVIT_KT", "1")
+    out, _ = attn.apply({"params": params}, x, thw)
+    g_out = jax.grad(loss, argnums=(0, 1))(params, x)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_out),
+            jax.tree_util.tree_leaves_with_path(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=jax.tree_util.keystr(path))
