@@ -26,11 +26,22 @@ def _suppress_print():
     builtins.print = ignore
 
 
+def _is_master() -> bool:
+    """Master check WITHOUT initializing a jax backend: get_logger() runs at
+    module-import time (before load_config selects the platform), and
+    ``jax.process_index()`` would eagerly initialize the highest-priority
+    backend — on this image the axon TPU plugin, which blocks every CLI tool
+    (even pure-CPU runs) whenever the tunnel is unreachable.  The distributed
+    global state carries the process id (0 unless ``jax.distributed`` is up)
+    with no backend involvement."""
+    from jax._src import distributed
+
+    return getattr(distributed.global_state, "process_id", 0) in (0, None)
+
+
 @functools.lru_cache(maxsize=None)
 def _configure(output_dir: str = ""):
-    import jax
-
-    is_master = jax.process_index() == 0
+    is_master = _is_master()
     logger = logging.getLogger("procedurevrl_tpu")
     logger.setLevel(logging.DEBUG if is_master else logging.ERROR)
     logger.propagate = False

@@ -1,0 +1,52 @@
+"""Round-4 regression tests.
+
+Covers the import-time backend-initialization fix: the CLI tools must not
+initialize ANY jax backend at import (reference CLI tools are equally lazy —
+``/root/reference/tools/run_net.py`` touches CUDA only inside ``main``).  On
+this image an eager ``jax.process_index()`` during module import would
+initialize the axon TPU plugin before ``load_config`` can select the CPU
+platform, hanging every tool (even pure-CPU runs) whenever the TPU tunnel
+is unreachable.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def test_tool_imports_do_not_initialize_backends():
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from procedurevrl_tpu.utils.parser import load_config, parse_args\n"
+        "from procedurevrl_tpu.utils.misc import launch_job\n"
+        "from tools.train_net import train\n"
+        "from tools.test_net import test\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, f'backends initialized: {list(xb._backends)}'\n"
+        "print('LAZY_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/root/repo",
+    )
+    assert "LAZY_OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_get_logger_master_detection_no_backend():
+    """_is_master reads the distributed global state (process 0 by default)
+    without creating a backend."""
+    from jax._src import xla_bridge as xb
+
+    from procedurevrl_tpu.utils import logging as logging_util
+
+    assert logging_util._is_master() is True
+    logger = logging_util.get_logger(__name__)
+    assert logger is not None
+    # conftest already initialized the CPU backend for the suite; the
+    # subprocess test above is the authoritative no-init check.  Here just
+    # assert the helper itself never raises and stays cheap.
+    assert "cpu" in xb._backends or not xb._backends
