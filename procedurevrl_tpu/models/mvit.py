@@ -807,7 +807,8 @@ class MViTEncoder(nn.Module):
             block_cls = nn.remat(
                 MultiScaleBlock, static_argnums=(2, 3), prevent_cse=False,
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "flash_attn_out", "flash_attn_lse", "gelu_grad"),
+                    "flash_attn_out", "flash_attn_lse", "flash_attn_probs",
+                    "gelu_grad"),
             )
         for i, spec in enumerate(plan):
             # thw comes from the static schedule (spec["input_size"]), not

@@ -128,6 +128,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _fwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref,
+                          rh_ref, rw_ref, et_ref, eh_ref, ew_ref, o_ref,
+                          p_ref, *, scale: float, qn: int, kn: int):
+    """Forward that ALSO writes the probabilities (input dtype) so the
+    backward skips the 4 score matmuls + softmax chain entirely (the
+    temporal-kernel pattern; the wide-key probs are only ~130 MB/step)."""
+    k = _splice_cls(k_ref[0], kc_ref[0], kn)
+    v = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
+    p = _probs(q_ref[0], k, rt_ref[0], rh_ref[0], rw_ref[0],
+               et_ref[...], eh_ref[...], ew_ref[...], scale, kn)
+    pc = p.astype(v.dtype)
+    p_ref[0] = pc.astype(p_ref.dtype)
+    o_ref[0] = jnp.dot(pc, v,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
                 et_ref, eh_ref, ew_ref, g_ref,
                 dq_ref, dkf_ref, dvf_ref, drt_ref, drh_ref, drw_ref,
@@ -177,6 +193,59 @@ def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
     dvf_ref[0] += dv
 
 
+def _bwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, g_ref, p_ref,
+                          et_ref, eh_ref, ew_ref,
+                          dq_ref, dkf_ref, dvf_ref, drt_ref, drh_ref, drw_ref,
+                          *, scale: float, qn: int, kn: int, tq: int):
+    """Backward from SAVED probabilities: no score recompute (the 4 MXU
+    matmuls + fp32 softmax chain of :func:`_probs` disappear), and the
+    five gradient matmuls run with input-dtype operands / fp32
+    accumulation, matching the spatial kernel's round-2 policy (the
+    original backward ran them with fp32 operands at a fraction of the
+    bf16 MXU rate)."""
+    qt = pl.program_id(1)
+    nvalid = _valid_rows(qt, qn, tq)
+    dt = q_ref.dtype
+    q = _mask_rows(q_ref[0], nvalid)
+    k = _mask_rows(_splice_cls(k_ref[0], kc_ref[0], kn), kn + 1)
+    v = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
+    # ragged-tail rows of the saved probs are garbage — mask like q/g
+    p = _mask_rows(p_ref[0], nvalid)
+    gf = _mask_rows(g_ref[0], nvalid)
+
+    dv = jax.lax.dot_general(p, gf, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(gf, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    pf = p.astype(jnp.float32)
+    ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))  # [TQ, KP]
+    ds_c = ds.astype(dt)
+    dq_ref[0] = (jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
+                 * scale).astype(dq_ref.dtype)
+    dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    et = et_ref[...].astype(dt)
+    eh = eh_ref[...].astype(dt)
+    ew = ew_ref[...].astype(dt)
+    drt_ref[0] = jax.lax.dot_general(
+        ds_c, et, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drt_ref.dtype)
+    drh_ref[0] = jax.lax.dot_general(
+        ds_c, eh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drh_ref.dtype)
+    drw_ref[0] = jax.lax.dot_general(
+        ds_c, ew, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drw_ref.dtype)
+
+    @pl.when(qt == 0)
+    def _init():
+        dkf_ref[0] = jnp.zeros_like(dkf_ref[0])
+        dvf_ref[0] = jnp.zeros_like(dvf_ref[0])
+
+    dkf_ref[0] += dk
+    dvf_ref[0] += dv
+
+
 def _specs(bh: int, qn: int, kp: int, d: int, k_shape, tq: int):
     k_t, k_h, k_w = k_shape
     qs = pl.BlockSpec((1, tq, d), lambda b, t: (b, t, 0),
@@ -197,7 +266,8 @@ def _specs(bh: int, qn: int, kp: int, d: int, k_shape, tq: int):
     return qs, ks, cs, rt, rh, rw, et, eh, ew
 
 
-def _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
+def _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
+         save_probs: bool = False):
     bh, qn, d = q.shape
     kn = k.shape[1]
     kp = _round_up(kn + 1, 128)
@@ -205,12 +275,19 @@ def _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
     tq = _tile_q(kp)
     qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
     grid = (bh, (qn + tq - 1) // tq)
+    ps = pl.BlockSpec((1, tq, kp), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, qn=qn, kn=kn),
+        functools.partial(
+            _fwd_kernel_saveprobs if save_probs else _fwd_kernel,
+            scale=scale, qn=qn, kn=kn),
         grid=grid,
         in_specs=[qs, ks, ks, cs, cs, rt, rh, rw, et, eh, ew],
-        out_specs=qs,
-        out_shape=jax.ShapeDtypeStruct((bh, qn, d), q.dtype),
+        out_specs=[qs, ps] if save_probs else qs,
+        out_shape=(
+            [jax.ShapeDtypeStruct((bh, qn, d), q.dtype),
+             jax.ShapeDtypeStruct((bh, qn, kp), q.dtype)]
+            if save_probs else jax.ShapeDtypeStruct((bh, qn, d), q.dtype)),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * qn * kp * d,
             bytes_accessed=2 * bh * qn * d * q.dtype.itemsize,
@@ -259,6 +336,59 @@ def _bwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale, g):
             drh.astype(rel_h.dtype), drw.astype(rel_w.dtype))
 
 
+def _bwd_saved(q, k, v, kc, vc, rel_t, rel_h, rel_w, probs, k_shape, scale,
+               g):
+    bh, qn, d = q.shape
+    kn = k.shape[1]
+    k_t, k_h, k_w = k_shape
+    kp = _round_up(kn + 1, 128)
+    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    tq = _tile_q(kp)
+    qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
+    kacc = pl.BlockSpec((1, kp, d), lambda b, t: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ps = pl.BlockSpec((1, tq, kp), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM)
+    grid = (bh, (qn + tq - 1) // tq)
+    dq, dkf, dvf, drt, drh, drw = pl.pallas_call(
+        functools.partial(_bwd_kernel_saveprobs, scale=scale, qn=qn, kn=kn,
+                          tq=tq),
+        grid=grid,
+        in_specs=[qs, ks, ks, cs, cs, qs, ps, et, eh, ew],
+        out_specs=[qs, kacc, kacc, rt, rh, rw],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, qn, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, qn, k_t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, qn, k_h), jnp.float32),
+            jax.ShapeDtypeStruct((bh, qn, k_w), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * qn * kp * d,
+            bytes_accessed=(6 * bh * qn * d + bh * qn * kp)
+            * q.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, kc, vc, g, probs, e_t, e_h, e_w)
+    dk = dkf[:, :kn].astype(k.dtype)
+    dv = dvf[:, :kn].astype(v.dtype)
+    dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
+    dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
+    return (dq, dk, dv, dkc, dvc, drt.astype(rel_t.dtype),
+            drh.astype(rel_h.dtype), drw.astype(rel_w.dtype))
+
+
+def _save_probs() -> bool:
+    """MVIT_SAVE_PROBS=0 reverts to the recompute-in-backward path
+    (ablation). The saved probabilities cost ~130 MB/step HBM at the
+    bench shapes, far below the recomputed 4-matmul + softmax chain."""
+    import os
+
+    return os.environ.get("MVIT_SAVE_PROBS", "1") != "0"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def flash_attention_mvit(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
     """Body-query pooled attention with decomposed rel-pos bias.
@@ -272,12 +402,25 @@ def flash_attention_mvit(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
 
 
 def _vjp_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
-    out = _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale)
-    return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w)
+    if not _save_probs():
+        out = _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale)
+        return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w, None)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, probs = _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
+                      save_probs=True)
+    # named so remat policies keep the probs across the block boundary
+    # (models/mvit.py lists "flash_attn_probs"); without it the backward
+    # would rebuild the forward kernel just to regenerate them
+    probs = checkpoint_name(probs, "flash_attn_probs")
+    return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w, probs)
 
 
 def _vjp_bwd(k_shape, scale, res, g):
-    return _bwd(*res, k_shape, scale, g)
+    *primals, probs = res
+    if probs is None:
+        return _bwd(*primals, k_shape, scale, g)
+    return _bwd_saved(*primals, probs, k_shape, scale, g)
 
 
 flash_attention_mvit.defvjp(_vjp_fwd, _vjp_bwd)

@@ -63,6 +63,38 @@ def test_mvit_fused_grads_match_xla(setup):
         )
 
 
+def test_mvit_saveprobs_matches_recompute_backward(monkeypatch):
+    """The saved-probabilities backward (MVIT_SAVE_PROBS=1, default) and
+    the recompute-in-backward ablation path (=0) produce matching grads
+    through q/k/v/cls and the rel-pos tables."""
+    from procedurevrl_tpu.ops.pallas_mvit_attention import (
+        flash_attention_mvit,
+    )
+
+    rng = np.random.RandomState(11)
+    BH, d = 4, 96
+    q_shape, k_shape = (2, 10, 10), (2, 7, 7)
+    qn, kn = int(np.prod(q_shape)), int(np.prod(k_shape))
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.3, jnp.float32)
+    q, k, v = mk(BH, qn, d), mk(BH, kn, d), mk(BH, kn, d)
+    kc, vc = mk(BH, 1, d), mk(BH, 1, d)
+    rt, rh, rw = (mk(BH, qn, kk) for kk in k_shape)
+    args = (q, k, v, kc, vc, rt, rh, rw)
+    scale = d ** -0.5
+
+    def loss(*a):
+        return jnp.sum(jnp.sin(flash_attention_mvit(*a, k_shape, scale)))
+
+    monkeypatch.setenv("MVIT_SAVE_PROBS", "0")
+    g_ref = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    monkeypatch.setenv("MVIT_SAVE_PROBS", "1")
+    g_new = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    for i, (a, b) in enumerate(zip(g_new, g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"grad arg {i}")
+
+
 def test_mvit_hl_kernel_matches_per_head_kernel():
     """flash_attention_mvit_hl (head-last blocks, in-kernel head loop)
     reproduces flash_attention_mvit (per-head [B*H] grid), fwd and grads."""
