@@ -15,6 +15,7 @@ softmax over keys in float32, output projection.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -71,6 +72,43 @@ def _qkv_project(x, qkv_w, qkv_b):
 
     qkv = checkpoint_name(qkv, "qkv_out")
     return jnp.split(qkv, 3, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def qkv_window_perm(c: int, num_heads: int, hpb: int):
+    """Column permutation [3C] mapping the standard fused-qkv projection
+    layout (q lanes 0..C-1, k at C.., v at 2C..) into per-head-group
+    [q(w) | k(w) | v(w)] windows (w = hpb * head_dim lanes) consumed by
+    ``flash_attention_cls_qkv``.  Applied to the projection WEIGHT columns
+    (and bias) — a few-MB static gather whose VJP is the inverse
+    permutation — never to activations."""
+    import numpy as np
+
+    w = (c // num_heads) * hpb
+    groups = c // w
+    perm = np.empty(3 * c, np.int64)
+    for g in range(groups):
+        base = 3 * g * w
+        lanes = np.arange(g * w, (g + 1) * w)
+        perm[base:base + w] = lanes
+        perm[base + w:base + 2 * w] = c + lanes
+        perm[base + 2 * w:base + 3 * w] = 2 * c + lanes
+    return tuple(perm.tolist())
+
+
+def _qkv_project_windowed(x, qkv_w, qkv_b, perm):
+    """Fused qkv projection emitting the window-permuted [.., 3C] layout."""
+    import numpy as np
+
+    idx = np.asarray(perm)
+    w_p = qkv_w.astype(x.dtype)[:, idx]
+    qkv = jnp.einsum("bnc,cd->bnd", x, w_p,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if qkv_b is not None:
+        qkv = qkv + qkv_b.astype(x.dtype)[idx]
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(qkv, "qkv_out")
 
 
 def _out_project(out, proj_w, proj_b):
@@ -148,13 +186,34 @@ def mhsa_cls(
         and _min_fused_len() <= x.shape[1] <= MAX_FUSED_LEN
         and _heads_per_block(head_dim, num_heads) > 0
     ):
-        q, k, v = _qkv_project(x, qkv_w, qkv_b)
-        qc, kc, vc = _qkv_project(cls_x, qkv_w, qkv_b)
-        out, out_c = flash_attention_cls(
-            q, k, v, qc, kc, vc, num_heads, head_dim ** -0.5
-        )
         from jax.ad_checkpoint import checkpoint_name
 
+        if os.environ.get("SPATIAL_FUSED_QKV", "1") != "0":
+            # single fused-qkv operand in window-permuted column order: the
+            # opaque kernel call cannot fuse with producers, so the
+            # jnp.split feeding the separate-q/k/v kernel materializes three
+            # [B, N, C] slice copies per block (and the split's VJP concats
+            # three gradients back).  TP meshes keep the split path (the
+            # train tool sets SPATIAL_FUSED_QKV=0 when TPU.MESH_MODEL > 1):
+            # its channel axis shards by whole head groups, while the fused
+            # window layout would replicate lanes.
+            from procedurevrl_tpu.ops.pallas_attention import (
+                flash_attention_cls_qkv,
+            )
+
+            perm = qkv_window_perm(
+                c, num_heads, _heads_per_block(head_dim, num_heads))
+            qkv = _qkv_project_windowed(x, qkv_w, qkv_b, perm)
+            qkv_c = _qkv_project_windowed(cls_x, qkv_w, qkv_b, perm)
+            out, out_c = flash_attention_cls_qkv(
+                qkv, qkv_c, num_heads, head_dim ** -0.5
+            )
+        else:
+            q, k, v = _qkv_project(x, qkv_w, qkv_b)
+            qc, kc, vc = _qkv_project(cls_x, qkv_w, qkv_b)
+            out, out_c = flash_attention_cls(
+                q, k, v, qc, kc, vc, num_heads, head_dim ** -0.5
+            )
         out = checkpoint_name(out, "flash_attn_out")
         out_c = checkpoint_name(out_c, "flash_attn_out")
         return _out_project(out, proj_w, proj_b), _out_project(out_c, proj_w, proj_b)

@@ -448,6 +448,191 @@ flash_attention_cls.defvjp(_fac_fwd, _fac_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused-qkv CLS variant: the kernel consumes the qkv projection output as
+# ONE [B, N, 3C] array whose columns are permuted into per-head-group
+# [q(w) | k(w) | v(w)] windows (w = hpb*d lanes), and the backward emits one
+# [B, N, 3C] dqkv in the same layout.  Motivation (v5e): the opaque
+# pallas_call cannot fuse with its producers, so the jnp.split(qkv, 3)
+# feeding the separate-q/k/v kernel materializes three slice copies per
+# block (and the VJP of the split concatenates three gradient arrays back),
+# pure HBM relayout traffic.  The permutation itself is free: it is applied
+# to the projection WEIGHT columns ([C, 3C], a few MB, grad is the inverse
+# permutation), not to any activation.  Math and numerics are identical to
+# flash_attention_cls — same per-head tiles, same splice-cls-into-padding-row
+# trick, just different lane bookkeeping.  See ops/attention.py:qkv_window_perm
+# for the column permutation.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_cls_qkv_kernel(qkv_ref, qkvc_ref, o_ref, oc_ref, *, scale: float,
+                        n_valid: int, d: int, hpb: int, gb: int):
+    w = d * hpb
+    for g in range(gb):
+        for i in range(hpb):
+            sq = slice(i * d, (i + 1) * d)
+            sk = slice(w + i * d, w + (i + 1) * d)
+            sv = slice(2 * w + i * d, 2 * w + (i + 1) * d)
+            q = _set_row(qkv_ref[g, :, sq], qkvc_ref[g, :, sq], n_valid)
+            k = _set_row(qkv_ref[g, :, sk], qkvc_ref[g, :, sk], n_valid)
+            v = _set_row(qkv_ref[g, :, sv], qkvc_ref[g, :, sv], n_valid)
+            p = _softmax_probs(q, k, scale, n_valid + 1)
+            v = _zero_tail_rows(v, n_valid + 1)
+            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            o_ref[g, :, sq] = o.astype(o_ref.dtype)
+            oc_ref[g, :, sq] = o[n_valid:n_valid + 1].astype(oc_ref.dtype)
+
+
+def _flash_cls_qkv_fwd(qkv, qkv_c, num_heads: int, scale: float):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
+    assert hpb > 0, f"unsupported geometry: d={d}, H={num_heads}"
+    gb = _batch_group(b)
+    npad = _pad_rows(n + 1)  # one padding row hosts the cls splice
+    w = d * hpb
+    qspec = _head_spec(npad, 3 * w, gb)
+    qcspec = _cls_spec(3 * w, gb)
+    spec = _head_spec(npad, w, gb)
+    cspec = _cls_spec(w, gb)
+    return pl.pallas_call(
+        functools.partial(_fwd_cls_qkv_kernel, scale=scale, n_valid=n, d=d,
+                          hpb=hpb, gb=gb),
+        grid=(b // gb, num_heads // hpb),
+        in_specs=[qspec, qcspec],
+        out_specs=[spec, cspec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, 1, c), qkv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * (npad + 1) * (npad + 1) * d,
+            bytes_accessed=4 * b * (n + 1) * c * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * (npad + 1) * (npad + 1),
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv_c)
+
+
+def _bwd_cls_qkv_kernel(qkv_ref, qkvc_ref, g_ref, gc_ref, dqkv_ref, dqkvc_ref,
+                        *, scale: float, n_valid: int, d: int, hpb: int,
+                        gb: int):
+    # combined (frames + cls) backward at n_valid + 1 via the splice trick;
+    # dq/dk/dv land in the per-head-group windows of ONE dqkv output
+    w = d * hpb
+    nv1 = n_valid + 1
+    for gi in range(gb):
+        for i in range(hpb):
+            sq = slice(i * d, (i + 1) * d)
+            sk = slice(w + i * d, w + (i + 1) * d)
+            sv = slice(2 * w + i * d, 2 * w + (i + 1) * d)
+            q = _zero_tail_rows(
+                _set_row(qkv_ref[gi, :, sq], qkvc_ref[gi, :, sq], n_valid), nv1)
+            k = _zero_tail_rows(
+                _set_row(qkv_ref[gi, :, sk], qkvc_ref[gi, :, sk], n_valid), nv1)
+            v = _zero_tail_rows(
+                _set_row(qkv_ref[gi, :, sv], qkvc_ref[gi, :, sv], n_valid), nv1)
+            p = _softmax_probs(q, k, scale, nv1)  # [NP, NP] fp32
+
+            dt = q.dtype
+            gf = _zero_tail_rows(
+                _set_row(g_ref[gi, :, sq], gc_ref[gi, :, sq], n_valid), nv1,
+            )
+            dv = jax.lax.dot_general(
+                p.astype(dt), gf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[gi, :, sv] = dv.astype(dqkv_ref.dtype)
+            dqkvc_ref[gi, :, sv] = dv[n_valid:nv1].astype(dqkvc_ref.dtype)
+
+            dp = jax.lax.dot_general(
+                gf, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds_c = ds.astype(dt)
+            dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
+            dqkv_ref[gi, :, sq] = dq.astype(dqkv_ref.dtype)
+            dqkvc_ref[gi, :, sq] = dq[n_valid:nv1].astype(dqkvc_ref.dtype)
+            dk = jax.lax.dot_general(
+                ds_c, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqkv_ref[gi, :, sk] = dk.astype(dqkv_ref.dtype)
+            dqkvc_ref[gi, :, sk] = dk[n_valid:nv1].astype(dqkvc_ref.dtype)
+
+
+def _flash_cls_qkv_bwd(qkv, qkv_c, g, gc, num_heads: int, scale: float):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
+    gb = _batch_group(b)
+    npad = _pad_rows(n + 1)
+    w = d * hpb
+    qspec = _head_spec(npad, 3 * w, gb)
+    qcspec = _cls_spec(3 * w, gb)
+    spec = _head_spec(npad, w, gb)
+    cspec = _cls_spec(w, gb)
+    return pl.pallas_call(
+        functools.partial(_bwd_cls_qkv_kernel, scale=scale, n_valid=n, d=d,
+                          hpb=hpb, gb=gb),
+        grid=(b // gb, num_heads // hpb),
+        in_specs=[qspec, qcspec, spec, cspec],
+        out_specs=[qspec, qcspec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, 1, c3), qkv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * (npad + 1) * (npad + 1) * d,
+            bytes_accessed=8 * b * (n + 1) * c * qkv.dtype.itemsize,
+            transcendentals=2 * b * num_heads * (npad + 1) * (npad + 1),
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv_c, g, gc)
+
+
+# lane factors are replicated under a mesh (the temporal-kernel precedent:
+# distinct in/out channel factors); TP meshes keep the head-sharded
+# separate-q/k/v kernel instead — ops/attention.py gates the fused-qkv path
+# off when the model axis is in use
+_flash_cls_qkv_fwd_sharded = partition_aware(_flash_cls_qkv_fwd, _wrap(
+    _flash_cls_qkv_fwd, n_tensors=2, static_argnums=(2, 3),
+    rule="b n x, b u x -> b n c, b u c",
+    need_replication=("n", "x", "u", "c"), shard_c=False,
+))
+_flash_cls_qkv_bwd_sharded = partition_aware(_flash_cls_qkv_bwd, _wrap(
+    _flash_cls_qkv_bwd, n_tensors=4, static_argnums=(4, 5),
+    rule="b n x, b u x, b n c, b u c -> b n x, b u x",
+    need_replication=("n", "x", "u", "c"), shard_c=False,
+))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def flash_attention_cls_qkv(qkv, qkv_c, num_heads, scale):
+    """CLS-split attention on a window-permuted fused qkv array.
+
+    qkv: [B, N, 3C] with columns ordered [q|k|v] per head group of
+    ``hpb = _heads_per_block(d, H)`` heads (``ops/attention.qkv_window_perm``
+    layout); qkv_c: [B, 1, 3C].  Returns (frame_out [B, N, C],
+    cls_out [B, 1, C]) in standard head-interleaved column order.
+    """
+    return _flash_cls_qkv_fwd_sharded(qkv, qkv_c, num_heads, scale)
+
+
+def _facq_fwd(qkv, qkv_c, num_heads, scale):
+    return _flash_cls_qkv_fwd_sharded(qkv, qkv_c, num_heads, scale), (
+        qkv, qkv_c,
+    )
+
+
+def _facq_bwd(num_heads, scale, res, gs):
+    qkv, qkv_c = res
+    g, gc = gs
+    return _flash_cls_qkv_bwd_sharded(qkv, qkv_c, g, gc, num_heads, scale)
+
+
+flash_attention_cls_qkv.defvjp(_facq_fwd, _facq_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Temporal attention on the time-major stream, layout-native (v2).
 #
 # The divided temporal pass attends over T (tiny, 8) for each of B*N patch

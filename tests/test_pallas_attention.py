@@ -158,6 +158,77 @@ def test_mhsa_cls_pallas_matches_fallback():
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=2e-5, rtol=2e-5)
 
 
+def test_flash_cls_fused_qkv_matches_split_kernel():
+    """flash_attention_cls_qkv (single window-permuted [B, N, 3C] operand)
+    reproduces flash_attention_cls (separate q/k/v), values and grads."""
+    from procedurevrl_tpu.ops.attention import qkv_window_perm
+    from procedurevrl_tpu.ops.pallas_attention import (
+        _heads_per_block, flash_attention_cls, flash_attention_cls_qkv,
+    )
+
+    rng = np.random.RandomState(6)
+    b, n, heads, d = 2, 196, 4, 64
+    c = heads * d
+    scale = d ** -0.5
+    q, k, v = (jnp.asarray(rng.randn(b, n, c), jnp.float32) for _ in range(3))
+    qc, kc, vc = (jnp.asarray(rng.randn(b, 1, c), jnp.float32)
+                  for _ in range(3))
+    perm = np.asarray(qkv_window_perm(c, heads, _heads_per_block(d, heads)))
+
+    def to_windows(qq, kk, vv):
+        return jnp.concatenate([qq, kk, vv], axis=-1)[..., perm]
+
+    def loss_split(q, k, v, qc, kc, vc):
+        f, cl = flash_attention_cls(q, k, v, qc, kc, vc, heads, scale)
+        return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(cl))
+
+    def loss_fused(q, k, v, qc, kc, vc):
+        f, cl = flash_attention_cls_qkv(
+            to_windows(q, k, v), to_windows(qc, kc, vc), heads, scale)
+        return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(cl))
+
+    args = (q, k, v, qc, kc, vc)
+    v_ref, g_ref = jax.value_and_grad(loss_split, argnums=tuple(range(6)))(*args)
+    v_new, g_new = jax.value_and_grad(loss_fused, argnums=tuple(range(6)))(*args)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
+    for i, (a, b_) in enumerate(zip(g_new, g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"grad arg {i}")
+
+
+def test_mhsa_cls_fused_qkv_matches_split_path(monkeypatch):
+    """mhsa_cls with SPATIAL_FUSED_QKV on vs off: same outputs and same
+    gradients through the projection weights (the permutation is applied to
+    the weight columns, so d(qkv_w) must come back in standard order)."""
+    from procedurevrl_tpu.ops.attention import mhsa_cls
+
+    rng = np.random.RandomState(7)
+    b, n, c, heads = 2, 196, 128, 2
+    x = jnp.asarray(rng.randn(b, n, c), jnp.float32)
+    cls_x = jnp.asarray(rng.randn(b, 1, c), jnp.float32)
+    qkv_w = jnp.asarray(rng.randn(c, 3 * c) * 0.05, jnp.float32)
+    qkv_b = jnp.asarray(rng.randn(3 * c) * 0.05, jnp.float32)
+    proj_w = jnp.asarray(rng.randn(c, c) * 0.05, jnp.float32)
+    proj_b = jnp.asarray(rng.randn(c) * 0.05, jnp.float32)
+
+    def loss(x, cls_x, qkv_w, qkv_b, proj_w, proj_b):
+        f, cl = mhsa_cls(x, cls_x, qkv_w, qkv_b, proj_w, proj_b, heads,
+                         use_pallas=True)
+        return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(cl))
+
+    args = (x, cls_x, qkv_w, qkv_b, proj_w, proj_b)
+    monkeypatch.setenv("SPATIAL_FUSED_QKV", "0")
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=tuple(range(6)))(*args)
+    monkeypatch.setenv("SPATIAL_FUSED_QKV", "1")
+    v_new, g_new = jax.value_and_grad(loss, argnums=tuple(range(6)))(*args)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
+    for i, (a, b_) in enumerate(zip(g_new, g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"grad arg {i}")
+
+
 # ---------------------------------------------------------------------------
 # temporal kernel (layout-native attention over T)
 # ---------------------------------------------------------------------------
