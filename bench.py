@@ -140,6 +140,34 @@ def main():
     key = jax.device_put(jax.random.PRNGKey(0), rep)
     state = jax.device_put(state, rep)
 
+    if _os.environ.get("BENCH_AUTO_LAYOUT") == "1":
+        # experiment: let XLA choose the PARAMETER layout of the batch
+        # inputs instead of forcing the row-major default — the MViT step
+        # trace shows ~4 ms of parameter->compute relayout copies on the
+        # [B*M, T, S, S, 3] frames (the input is re-read by the remat
+        # backward).  device_put-ing the batch in the compiled preference
+        # deletes the in-HLO copy; a real training loop would apply the
+        # same format in the host prefetch path.
+        try:
+            from jax._src.layout import AutoLayout, Format
+
+            auto = jax.tree_util.tree_map(
+                lambda _: Format(AutoLayout(), data), batch)
+            step_auto = jax.jit(train_step,
+                                in_shardings=(rep, auto, rep),
+                                donate_argnums=(0,))
+            abstract = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), batch)
+            compiled = step_auto.lower(state, abstract, key).compile()
+            fmts = compiled.input_formats
+            batch = jax.tree_util.tree_map(jax.device_put, batch, fmts[0][1])
+            step = compiled
+            note("auto input layouts: "
+                 + str(jax.tree_util.tree_map(
+                     lambda f: f.layout.major_to_minor, fmts[0][1])))
+        except Exception as e:  # pragma: no cover - experiment knob
+            note(f"BENCH_AUTO_LAYOUT unavailable: {e!r}")
+
     # warmup (compile)
     note("compiling train step")
     for i in range(2):

@@ -725,6 +725,152 @@ def _temporal_compact_probs(q, k, E, summat, scale: float, T: int,
     return probs
 
 
+def _temporal_consts_batched(T: int, d: int, hpb: int, dt):
+    """Constant 0/1 matrices for the BATCHED (v3) temporal kernels.
+
+    Estack [T*w, 128] = the per-s expanders E[s] stacked along rows: row
+    s*w + r (head j = r // d) -> compact column s*hpb + j, so ONE
+    [nt, T*w] x [T*w, 128] dot accumulates all s contributions of a
+    compact logit row (vs T separate K=w dots).
+    Ball [128, T*w] = the B[s] broadcasters stacked along columns: one
+    [nt, 128] x [128, T*w] dot broadcasts a compact row onto the head
+    lanes of every s at once.
+    """
+    w = d * hpb
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T * w, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T * w, 128), 1)
+    estack = (cols == (rows // w) * hpb + (rows % w) // d).astype(dt)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (128, T * w), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (128, T * w), 1)
+    ball = (rr == (cc // w) * hpb + (cc % w) // d).astype(dt)
+    used = T * hpb
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    co = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    summat = jnp.logical_and(ci % hpb == co % hpb, ci < used).astype(dt)
+    return estack, ball, summat
+
+
+def _compact_softmax(logit, col, used: int, hpb: int):
+    """v2's exact compact softmax: mask, per-head max via cyclic roll
+    max-doubling over the lane classes c = j (mod hpb), exp, denominator
+    via the head-indicator SumMat."""
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    logit = jnp.where(col < used, logit, neg)
+    m = logit
+    shift = hpb
+    while shift < 128:
+        m = jnp.maximum(m, pltpu.roll(m, shift, 1))
+        shift *= 2
+    return logit, jnp.exp(logit - m)
+
+
+def _temporal_fwd_kernel_v3(q_ref, k_ref, v_ref, o_ref, p_ref, *,
+                            scale: float, d: int, hpb: int):
+    """Batched-dot variant of :func:`_temporal_fwd_kernel`: identical math
+    (same products, fp32 accumulation, same compact softmax), but the
+    T logits dots and T probability broadcasts per t collapse into ONE
+    K=T*w dot and ONE N=T*w dot — v2 issues 128 tiny MXU dots per grid
+    step and is dispatch-bound, not FLOP-bound."""
+    T = q_ref.shape[1]
+    dt = q_ref.dtype
+    w = d * hpb
+    estack, ball, summat = _temporal_consts_batched(T, d, hpb, dt)
+    q = q_ref[0]  # [T, nt, w]
+    k = k_ref[0]
+    v = v_ref[0]
+    used = T * hpb
+    nt = q.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (nt, 128), 1)
+    kcat = jnp.concatenate([k[s] for s in range(T)], axis=1)  # [nt, T*w]
+    for t in range(T):
+        qt_tiled = jnp.concatenate([q[t]] * T, axis=1)
+        prod = qt_tiled * kcat  # input dtype, same per-term rounding as v2
+        logit = jax.lax.dot_general(
+            prod, estack, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        _, e = _compact_softmax(logit, col, used, hpb)
+        denom = jax.lax.dot_general(
+            e, summat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p_c = (e / denom).astype(dt)
+        p_ref[0, t] = p_c
+        pb_all = jax.lax.dot_general(  # all s broadcasts in one dot
+            p_c, ball, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_t = None
+        for s in range(T):
+            term = (pb_all[:, s * w:(s + 1) * w]
+                    * v[s].astype(jnp.float32))
+            o_t = term if o_t is None else o_t + term
+        o_ref[0, t] = o_t.astype(o_ref.dtype)
+
+
+def _temporal_bwd_kernel_v3(q_ref, k_ref, v_ref, g_ref, p_ref, dq_ref,
+                            dk_ref, dv_ref, *, scale: float, d: int,
+                            hpb: int):
+    T = q_ref.shape[1]
+    dt = q_ref.dtype
+    w = d * hpb
+    estack, ball, summat = _temporal_consts_batched(T, d, hpb, dt)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    kcat = jnp.concatenate([k[s] for s in range(T)], axis=1)
+    vcat = jnp.concatenate([v[s] for s in range(T)], axis=1)
+    dk_acc = [None] * T
+    dv_acc = [None] * T
+    for t in range(T):
+        p = p_ref[0, t].astype(jnp.float32)  # [nt, 128] compact
+        gt = g[t]
+        gt_tiled = jnp.concatenate([gt] * T, axis=1)
+        dp = jax.lax.dot_general(  # dp[t] compact, all s in one dot
+            gt_tiled * vcat, estack, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rowsum = jax.lax.dot_general(
+            dp * p, summat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - rowsum)).astype(dt)
+        p_c = p.astype(dt)
+        bds_all = jax.lax.dot_general(
+            ds, ball, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bp_all = jax.lax.dot_general(
+            p_c, ball, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gf = gt.astype(jnp.float32)
+        qf = q[t].astype(jnp.float32)
+        dq_t = None
+        for s in range(T):
+            sl = slice(s * w, (s + 1) * w)
+            bds = bds_all[:, sl]
+            term_q = bds * k[s].astype(jnp.float32)
+            dq_t = term_q if dq_t is None else dq_t + term_q
+            term_k = bds * qf
+            dk_acc[s] = term_k if dk_acc[s] is None else dk_acc[s] + term_k
+            term_v = bp_all[:, sl] * gf
+            dv_acc[s] = term_v if dv_acc[s] is None else dv_acc[s] + term_v
+        dq_ref[0, t] = (dq_t * scale).astype(dq_ref.dtype)
+    for s in range(T):
+        dk_ref[0, s] = (dk_acc[s] * scale).astype(dk_ref.dtype)
+        dv_ref[0, s] = dv_acc[s].astype(dv_ref.dtype)
+
+
+def _temporal_batched() -> bool:
+    """TEMPORAL_BATCHED=1 selects the v3 batched-dot kernels (opt-in until
+    measured on hardware; v2 remains the default)."""
+    import os
+
+    return os.environ.get("TEMPORAL_BATCHED", "0") == "1"
+
+
 def _temporal_fwd_kernel(q_ref, k_ref, v_ref, o_ref, p_ref, *, scale: float,
                          d: int, hpb: int):
     T = q_ref.shape[1]
@@ -858,7 +1004,9 @@ def _temporal_fwd(qkv, num_heads: int, scale: float):
     assert hpb > 0, f"unsupported temporal geometry d={d} H={num_heads}"
     qs, ks, vs, os, ps = _temporal_specs(T, n, nt, w, c)
     return pl.pallas_call(
-        functools.partial(_temporal_fwd_kernel, scale=scale, d=d, hpb=hpb),
+        functools.partial(
+            _temporal_fwd_kernel_v3 if _temporal_batched()
+            else _temporal_fwd_kernel, scale=scale, d=d, hpb=hpb),
         grid=(b, (n + nt - 1) // nt, c // w),
         in_specs=[qs, ks, vs],
         out_specs=[os, ps],
@@ -882,7 +1030,9 @@ def _temporal_bwd(qkv, probs, g, num_heads: int, scale: float):
     hpb, w, nt = _temporal_geometry(n, c, d, num_heads, T, qkv.dtype.itemsize)
     qs, ks, vs, os, ps = _temporal_specs(T, n, nt, w, c)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_temporal_bwd_kernel, scale=scale, d=d, hpb=hpb),
+        functools.partial(
+            _temporal_bwd_kernel_v3 if _temporal_batched()
+            else _temporal_bwd_kernel, scale=scale, d=d, hpb=hpb),
         grid=(b, (n + nt - 1) // nt, c // w),
         in_specs=[qs, ks, vs, os, ps],
         out_specs=[os, os, os],

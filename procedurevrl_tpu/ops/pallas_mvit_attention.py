@@ -513,6 +513,7 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
     qf = _mask_rows(q_ref[0], nvalid)
     kf = _mask_rows(_splice_cls(k_ref[0], kc_ref[0], kn), kn + 1)
     vf = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
+    etc, ehc, ewc = (e.astype(q_ref.dtype) for e in (et, eh, ew))
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
         q = qf[:, sl]
@@ -522,28 +523,32 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
         rh = _mask_rows(rh_ref[0, 0][:, h * k_h:(h + 1) * k_h], nvalid)
         rw = _mask_rows(rw_ref[0, 0][:, h * k_w:(h + 1) * k_w], nvalid)
         p = _probs(q, k, rt, rh, rw, et, eh, ew, scale, kn)
-        gf = _mask_rows(g_ref[0][:, sl].astype(jnp.float32), nvalid)
+        # gradient matmuls run with INPUT-dtype operands and fp32
+        # accumulation (fp32-operand MXU matmuls run at a fraction of the
+        # bf16 rate — the round-2 spatial-kernel policy, also applied to
+        # the per-head saved-probs backward); softmax math stays fp32
+        dt = q_ref.dtype
+        gf = _mask_rows(g_ref[0][:, sl], nvalid)
 
-        dv = jax.lax.dot_general(p, gf, (((0,), (0,)), ((), ())),
+        dv = jax.lax.dot_general(p.astype(dt), gf, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(gf, v.astype(jnp.float32),
-                                 (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(gf, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [TQ, KP]
-        dq_ref[0, :, sl] = (jnp.dot(ds, k.astype(jnp.float32),
+        ds_c = ds.astype(dt)
+        dq_ref[0, :, sl] = (jnp.dot(ds_c, k,
                                     preferred_element_type=jnp.float32)
                             * scale).astype(dq_ref.dtype)
-        dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
-                                 (((0,), (0,)), ((), ())),
+        dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         drt_ref[0, 0, :, h * k_t:(h + 1) * k_t] = jax.lax.dot_general(
-            ds, et, (((1,), (1,)), ((), ())),
+            ds_c, etc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(drt_ref.dtype)
         drh_ref[0, 0, :, h * k_h:(h + 1) * k_h] = jax.lax.dot_general(
-            ds, eh, (((1,), (1,)), ((), ())),
+            ds_c, ehc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(drh_ref.dtype)
         drw_ref[0, 0, :, h * k_w:(h + 1) * k_w] = jax.lax.dot_general(
-            ds, ew, (((1,), (1,)), ((), ())),
+            ds_c, ewc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(drw_ref.dtype)
         dkf_ref[0, :, sl] += dk
         dvf_ref[0, :, sl] += dv

@@ -277,3 +277,41 @@ def test_mvit_kt_model_dispatch(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_mvit_hl_kernel_bf16_close():
+    """bf16 hl kernel grads stay close to the fp32 kernel (the backward's
+    gradient matmuls run with INPUT-dtype operands + fp32 accumulation, so
+    bf16 inputs exercise a different MXU path than the fp32 parity tests)."""
+    from procedurevrl_tpu.ops.pallas_mvit_attention import (
+        flash_attention_mvit_hl,
+    )
+
+    rng = np.random.RandomState(9)
+    B, H, d = 2, 4, 96
+    q_shape, k_shape = (4, 7, 7), (4, 4, 4)
+    qn, kn = int(np.prod(q_shape)), int(np.prod(k_shape))
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    hl = lambda x: np.transpose(x, (0, 2, 1, 3)).reshape(
+        B, x.shape[2], H * x.shape[3])
+    tensors = [hl(mk(B, H, n_, w_)) for n_, w_ in
+               [(qn, d), (kn, d), (kn, d), (1, d), (1, d)]]
+    # rel tables stay fp32 in the model contract (models/mvit.py pack)
+    rels = [hl(mk(B, H, qn, kk)) for kk in k_shape]
+    scale = d ** -0.5
+
+    def loss(dt, *a):
+        args = [jnp.asarray(t, dt) for t in a[:5]] + [
+            jnp.asarray(r, jnp.float32) for r in a[5:]]
+        return jnp.sum(jnp.sin(flash_attention_mvit_hl(
+            *args, k_shape, H, scale).astype(jnp.float32)))
+
+    args = tuple(tensors) + tuple(rels)
+    g32 = jax.grad(lambda *a: loss(jnp.float32, *a),
+                   argnums=tuple(range(8)))(*args)
+    g16 = jax.grad(lambda *a: loss(jnp.bfloat16, *a),
+                   argnums=tuple(range(8)))(*args)
+    for i, (a, b) in enumerate(zip(g16, g32)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-2, rtol=5e-2, err_msg=f"grad arg {i}")

@@ -298,3 +298,29 @@ def test_mhsa_temporal_pallas_matches_fallback(monkeypatch):
     b_ = mhsa_temporal(x, qkv_w, qkv_b, proj_w, proj_b, heads, use_pallas=True)
     np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_temporal_batched_matches_v2(monkeypatch):
+    """TEMPORAL_BATCHED=1 (v3 batched-dot kernels) reproduces the v2
+    kernels, values and grads — same math, one K=T*w / N=T*w dot where v2
+    issues T tiny dots."""
+    from procedurevrl_tpu.ops.pallas_attention import (
+        flash_attention_temporal,
+    )
+
+    rng = np.random.RandomState(11)
+    b, t, n, heads, d = 2, 8, 196, 2, 64
+    qkv = jnp.asarray(rng.randn(b, t, n, 3 * heads * d) * 0.3, jnp.float32)
+    scale = d ** -0.5
+
+    def loss(x):
+        o = flash_attention_temporal(x, heads, scale)
+        return jnp.sum(jnp.sin(o))
+
+    monkeypatch.setenv("TEMPORAL_BATCHED", "0")
+    v_ref, g_ref = jax.value_and_grad(loss)(qkv)
+    monkeypatch.setenv("TEMPORAL_BATCHED", "1")
+    v_new, g_new = jax.value_and_grad(loss)(qkv)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=5e-5, rtol=5e-5)

@@ -18,8 +18,8 @@ Usage::
 
     python tools/kernel_bench.py [family ...]
 
-Families: ``spatial``, ``spatial_cls``, ``temporal``, ``mvit_ph``,
-``mvit_hl``, ``mvit_kt`` (default: all).  Prints one line per family:
+Families: ``spatial``, ``spatial_cls``, ``spatial_clsq``, ``temporal``,
+``mvit_ph``, ``mvit_hl``, ``mvit_kt`` (default: all).  Prints one line per family:
 ``<family> fwd <ms>  fwd+bwd <ms>`` (per scan iteration, best of 3).
 
 Reference baselines (v5e, bench shapes, round 3) in BASELINE.md.
@@ -121,6 +121,35 @@ def bench_spatial(cls: bool):
     return _bench(loss, (q, k, v))
 
 
+def bench_spatial_clsq():
+    """Fused-qkv window-layout CLS kernel (flash_attention_cls_qkv) at the
+    same geometry as ``spatial_cls``; the delta isolates the kernel-side
+    effect of one 3w-wide operand vs three w-wide ones (the model-side win
+    — no split copies / no grad concat — only shows end-to-end)."""
+    import jax.numpy as jnp
+
+    from procedurevrl_tpu.ops.attention import qkv_window_perm
+    from procedurevrl_tpu.ops.pallas_attention import (
+        _heads_per_block, flash_attention_cls_qkv,
+    )
+
+    B, n, H, d = 144, 196, 12, 64
+    c = H * d
+    rng = np.random.RandomState(0)
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.4, jnp.bfloat16)
+    scale = d ** -0.5
+    perm = np.asarray(qkv_window_perm(c, H, _heads_per_block(d, H)))
+    qkv = mk(B, n, 3 * c)[..., perm]
+    qkv_c = mk(B, 1, 3 * c)[..., perm]
+
+    def loss(qkv, qkv_c):
+        o, oc = flash_attention_cls_qkv(qkv, qkv_c, H, scale)
+        return (jnp.sum(jnp.sin(o.astype(jnp.float32)))
+                + jnp.sum(oc.astype(jnp.float32)))
+
+    return _bench(loss, (qkv, qkv_c))
+
+
 def bench_temporal():
     import jax.numpy as jnp
 
@@ -204,6 +233,7 @@ def bench_mvit(kind: str):
 FAMILIES = {
     "spatial": lambda: bench_spatial(cls=False),
     "spatial_cls": lambda: bench_spatial(cls=True),
+    "spatial_clsq": bench_spatial_clsq,
     "temporal": bench_temporal,
     "mvit_ph": lambda: bench_mvit("ph"),
     "mvit_hl": lambda: bench_mvit("hl"),
