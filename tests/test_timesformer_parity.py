@@ -121,3 +121,29 @@ def test_time_embed_interpolation_frame_change():
     out = model.apply(variables, jnp.ones((2, 4, 32, 32, 3)), deterministic=True)
     assert out.shape == (2, 48)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_timesformer_pallas_matches_xla_full_model():
+    """Full encoder, use_pallas=True vs False at the real spatial geometry
+    (N=196 engages the fused-qkv spatial kernel and the temporal kernel;
+    the torch-oracle tests above run the XLA path, so this pins the whole
+    pallas dispatch — projections, window permutation, CLS split — at
+    model level)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from procedurevrl_tpu.models.timesformer import TimeSformer
+
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(1, 2, 224, 224, 3), jnp.float32)
+    kw = dict(depth=1, num_frames=2, dtype=jnp.float32)
+    m_x = TimeSformer(use_pallas=False, **kw)
+    variables = jax.jit(m_x.init)(jax.random.PRNGKey(0), x)
+    m_p = TimeSformer(use_pallas=True, **kw)
+    out_x = jax.jit(
+        lambda v, t: m_x.apply(v, t, deterministic=True))(variables, x)
+    out_p = jax.jit(
+        lambda v, t: m_p.apply(v, t, deterministic=True))(variables, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=3e-5, rtol=3e-5)
