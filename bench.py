@@ -140,7 +140,10 @@ def main():
     key = jax.device_put(jax.random.PRNGKey(0), rep)
     state = jax.device_put(state, rep)
 
-    if _os.environ.get("BENCH_AUTO_LAYOUT") == "1":
+    if (_os.environ.get("BENCH_AUTO_LAYOUT") == "1"
+            and _os.environ.get("BENCH_NO_OPT") != "1"):
+        # (mutually exclusive with BENCH_NO_OPT: this block re-jits the
+        # full train_step and would silently replace the grad-only step)
         # experiment: let XLA choose the PARAMETER layout of the batch
         # inputs instead of forcing the row-major default — the MViT step
         # trace shows ~4 ms of parameter->compute relayout copies on the

@@ -694,7 +694,6 @@ def _temporal_compact_probs(q, k, E, summat, scale: float, T: int,
     columns >= T*hpb are zero."""
     used = T * hpb
     col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[1], 128), 1)
-    neg = jnp.float32(jnp.finfo(jnp.float32).min)
     probs = []
     for t in range(T):
         logit = None
@@ -706,17 +705,7 @@ def _temporal_compact_probs(q, k, E, summat, scale: float, T: int,
                 preferred_element_type=jnp.float32,
             )
             logit = part if logit is None else logit + part
-        logit = jnp.where(col < used, logit * scale, neg)
-        # exact per-head max via cyclic max-doubling over the lane classes
-        # c = j (mod hpb): 6 roll+max steps cover all 128/hpb class members
-        # (the class mixes the head's real s columns with masked ones, so
-        # every column - including masked - lands on its head's real max)
-        m = logit
-        shift = hpb
-        while shift < 128:
-            m = jnp.maximum(m, pltpu.roll(m, shift, 1))
-            shift *= 2
-        e = jnp.exp(logit - m)  # masked cols -> exp(-inf) = 0
+        e = _compact_exp(logit * scale, col, used, hpb)
         denom = jax.lax.dot_general(
             e, summat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -750,10 +739,12 @@ def _temporal_consts_batched(T: int, d: int, hpb: int, dt):
     return estack, ball, summat
 
 
-def _compact_softmax(logit, col, used: int, hpb: int):
-    """v2's exact compact softmax: mask, per-head max via cyclic roll
-    max-doubling over the lane classes c = j (mod hpb), exp, denominator
-    via the head-indicator SumMat."""
+def _compact_exp(logit, col, used: int, hpb: int):
+    """Shared compact-softmax numerator: mask columns >= used, per-head max
+    via cyclic roll max-doubling over the lane classes c = j (mod hpb)
+    (exact: the class covers all 128 lanes cyclically, so every member sees
+    the same class max), exp.  Used by both the v2 and v3 temporal kernels
+    — keep ONE copy of this numerics-critical sequence."""
     neg = jnp.float32(jnp.finfo(jnp.float32).min)
     logit = jnp.where(col < used, logit, neg)
     m = logit
@@ -761,7 +752,7 @@ def _compact_softmax(logit, col, used: int, hpb: int):
     while shift < 128:
         m = jnp.maximum(m, pltpu.roll(m, shift, 1))
         shift *= 2
-    return logit, jnp.exp(logit - m)
+    return jnp.exp(logit - m)  # masked cols -> exp(-inf) = 0
 
 
 def _temporal_fwd_kernel_v3(q_ref, k_ref, v_ref, o_ref, p_ref, *,
@@ -789,7 +780,7 @@ def _temporal_fwd_kernel_v3(q_ref, k_ref, v_ref, o_ref, p_ref, *,
             prod, estack, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        _, e = _compact_softmax(logit, col, used, hpb)
+        e = _compact_exp(logit, col, used, hpb)
         denom = jax.lax.dot_general(
             e, summat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -983,6 +974,11 @@ def _temporal_geometry(n: int, c: int, d: int, num_heads: int, T: int,
     leaving VMEM room for the 0/1 expander constants and the Mosaic
     stack."""
     budget = 10 * 2 ** 20
+    # v3 (TEMPORAL_BATCHED) additionally holds [nt, T*w] scratch: kcat/vcat
+    # + the per-t tiled sheet (input dtype) and two fp32 broadcast sheets
+    # (pb_all / bds_all) — ~14 * T*nt*w bytes on top of the 8
+    # double-buffered grid blocks
+    extra = 14 if _temporal_batched() else 0
     for nt in (min(n, 256), 128, 64):
         if nt > n:
             continue
@@ -990,7 +986,7 @@ def _temporal_geometry(n: int, c: int, d: int, num_heads: int, T: int,
             if num_heads % hpb or (d * hpb) % 128 or T * hpb > 128:
                 continue
             w = d * hpb
-            if 8 * 2 * T * nt * w * itemsize <= budget:
+            if (8 * 2 * itemsize + extra) * T * nt * w <= budget:
                 return hpb, w, nt
     return 0, 0, 0
 

@@ -42,9 +42,13 @@ TQ = 512  # default query rows per tile
 def _tile_q(kp: int) -> int:
     """Query rows per tile, shrunk for wide key blocks: the backward holds
     ~3 fp32 [TQ, KP] arrays (p, dp, ds) live at once, which must fit the
-    16 MB VMEM stack alongside the fp32 dk/dv accumulators."""
+    16 MB VMEM stack alongside the fp32 dk/dv accumulators.  The saved-probs
+    path (default, MVIT_SAVE_PROBS=1) additionally streams a double-buffered
+    [TQ, KP] input-dtype probs block — budgeted here so both backwards agree
+    on TQ (the saved probs layout is chosen by the forward)."""
     for tq in (512, 256, 128, 64):
-        if 3 * tq * kp * 4 + 2 * kp * 96 * 4 <= 9 * 2 ** 20:
+        if (3 * tq * kp * 4 + 2 * tq * kp * 2
+                + 2 * kp * 96 * 4 <= 9 * 2 ** 20):
             return tq
     return 32
 
@@ -290,7 +294,9 @@ def _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
             if save_probs else jax.ShapeDtypeStruct((bh, qn, d), q.dtype)),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * qn * kp * d,
-            bytes_accessed=2 * bh * qn * d * q.dtype.itemsize,
+            bytes_accessed=(2 * bh * qn * d
+                            + (bh * qn * kp if save_probs else 0))
+            * q.dtype.itemsize,
             transcendentals=bh * qn * kp,
         ),
         interpret=_interpret(),

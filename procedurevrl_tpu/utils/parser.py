@@ -79,6 +79,15 @@ def load_config(args):
     if getattr(args, "init_method", ""):
         cfg.TPU.COORDINATOR_ADDRESS = args.init_method
 
+    if cfg.TPU.MESH_MODEL > 1:
+        # tensor parallelism keeps the split-q/k/v spatial kernel: its
+        # channel axis shards by whole head groups, while the fused-qkv
+        # window layout (ops/attention.py:mhsa_cls, default path) would
+        # replicate lanes.  Centralized here so EVERY tool (train, test,
+        # feat_extract, profile_bench, ...) sees the same gating;
+        # setdefault keeps an explicit user override in force.
+        os.environ.setdefault("SPATIAL_FUSED_QKV", "0")
+
     # re-validate the MERGED config: get_cfg() only validated the defaults,
     # before the YAML/CLI overrides landed
     from procedurevrl_tpu.config.defaults import _assert_and_infer_cfg

@@ -50,3 +50,30 @@ def test_get_logger_master_detection_no_backend():
     # subprocess test above is the authoritative no-init check.  Here just
     # assert the helper itself never raises and stays cheap.
     assert "cpu" in xb._backends or not xb._backends
+
+
+def test_load_config_tp_gates_fused_qkv():
+    """TPU.MESH_MODEL > 1 must disable the fused-qkv spatial path for EVERY
+    tool (gating centralized in load_config), while an explicit user
+    override stays in force (setdefault)."""
+    code = (
+        "import os, sys; sys.path.insert(0, '/root/repo')\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "from types import SimpleNamespace\n"
+        "from procedurevrl_tpu.utils.parser import load_config\n"
+        "mk = lambda: SimpleNamespace(\n"
+        "    cfg_file='configs/HowTo100M/procedurevrl_adamw.yaml',\n"
+        "    opts=['TPU.MESH_MODEL', '2', 'TPU.MESH_DATA', '1'],\n"
+        "    init_method='')\n"
+        "load_config(mk())\n"
+        "assert os.environ['SPATIAL_FUSED_QKV'] == '0'\n"
+        "os.environ['SPATIAL_FUSED_QKV'] = '1'\n"
+        "load_config(mk())\n"
+        "assert os.environ['SPATIAL_FUSED_QKV'] == '1'  # override kept\n"
+        "print('GATE_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180, cwd="/root/repo",
+    )
+    assert "GATE_OK" in r.stdout, r.stdout + r.stderr

@@ -290,12 +290,8 @@ def train(cfg):
         # (parallel/mesh.py:tp_state_shardings). The Pallas attention
         # kernels are partition-aware (ops/pallas_partition): they run on
         # each model shard's own head group, no gather.  The spatial pass
-        # keeps the split-q/k/v kernel under TP — its channel axis shards
-        # by whole head groups, while the fused-qkv window layout
-        # (ops/attention.py:mhsa_cls) would replicate lanes.
-        import os as _os
-
-        _os.environ["SPATIAL_FUSED_QKV"] = "0"
+        # keeps the split-q/k/v kernel under TP (SPATIAL_FUSED_QKV gating
+        # is centralized in utils/parser.py:load_config).
         from procedurevrl_tpu.parallel.mesh import tp_state_shardings
 
         state_sharding = tp_state_shardings(state, mesh)
