@@ -589,6 +589,180 @@ def _flash_cls_qkv_bwd(qkv, qkv_c, g, gc, num_heads: int, scale: float):
     )(qkv, qkv_c, g, gc)
 
 
+# --- saved-probabilities variant (opt-in SPATIAL_SAVE_PROBS=1) -----------
+# The backward recomputes the fp32 softmax probabilities from qkv — the
+# VPU exp/max/sum chain BASELINE.md measured at ~0.8-1 ms/block.  This
+# variant saves them from the forward as [B, H, NP, KPAD] input-dtype
+# (KPAD = 256-padded key axis, ~153 MB/block at bench shapes) and the
+# backward skips the score matmul + softmax chain.  BASELINE round 3
+# rejected this on traffic arithmetic for the SPLIT-operand kernel;
+# kept opt-in here so the fused-qkv layout can be measured directly.
+
+
+def _sp_batch_group(b: int) -> int:
+    """Smaller row group for the saved-probs variants: the probs block
+    ((gb, hpb, NP, KPAD), double-buffered) joins the qkv/grad blocks in
+    VMEM; gb=12 would exceed the comfortable budget in the backward."""
+    for gb in (8, 6, 4, 2, 1):
+        if b % gb == 0:
+            return gb
+    return 1
+
+
+def _save_spatial_probs() -> bool:
+    import os
+
+    return os.environ.get("SPATIAL_SAVE_PROBS", "0") == "1"
+
+
+def _fwd_cls_qkv_kernel_sp(qkv_ref, qkvc_ref, o_ref, oc_ref, p_ref, *,
+                           scale: float, n_valid: int, d: int, hpb: int,
+                           gb: int, kpad: int):
+    w = d * hpb
+    for g in range(gb):
+        for i in range(hpb):
+            sq = slice(i * d, (i + 1) * d)
+            sk = slice(w + i * d, w + (i + 1) * d)
+            sv = slice(2 * w + i * d, 2 * w + (i + 1) * d)
+            q = _set_row(qkv_ref[g, :, sq], qkvc_ref[g, :, sq], n_valid)
+            k = _set_row(qkv_ref[g, :, sk], qkvc_ref[g, :, sk], n_valid)
+            v = _set_row(qkv_ref[g, :, sv], qkvc_ref[g, :, sv], n_valid)
+            p = _softmax_probs(q, k, scale, n_valid + 1)
+            v = _zero_tail_rows(v, n_valid + 1)
+            pc = p.astype(v.dtype)
+            o = jnp.dot(pc, v, preferred_element_type=jnp.float32)
+            o_ref[g, :, sq] = o.astype(o_ref.dtype)
+            oc_ref[g, :, sq] = o[n_valid:n_valid + 1].astype(oc_ref.dtype)
+            npad = pc.shape[1]
+            p_ref[g, i] = jnp.concatenate(
+                [pc, jnp.zeros((pc.shape[0], kpad - npad), pc.dtype)],
+                axis=1).astype(p_ref.dtype)
+
+
+def _bwd_cls_qkv_kernel_sp(qkv_ref, qkvc_ref, g_ref, gc_ref, p_ref,
+                           dqkv_ref, dqkvc_ref, *, scale: float,
+                           n_valid: int, d: int, hpb: int, gb: int,
+                           npad: int):
+    """Backward from SAVED probabilities: identical to
+    :func:`_bwd_cls_qkv_kernel` minus the score matmul + fp32 softmax
+    chain.  Saved garbage rows (>= n_valid + 1: DMA'd from uninitialized
+    q rows in the forward, possibly non-finite) are zeroed like q/g."""
+    w = d * hpb
+    nv1 = n_valid + 1
+    for gi in range(gb):
+        for i in range(hpb):
+            sq = slice(i * d, (i + 1) * d)
+            sk = slice(w + i * d, w + (i + 1) * d)
+            sv = slice(2 * w + i * d, 2 * w + (i + 1) * d)
+            q = _zero_tail_rows(
+                _set_row(qkv_ref[gi, :, sq], qkvc_ref[gi, :, sq], n_valid), nv1)
+            k = _zero_tail_rows(
+                _set_row(qkv_ref[gi, :, sk], qkvc_ref[gi, :, sk], n_valid), nv1)
+            v = _zero_tail_rows(
+                _set_row(qkv_ref[gi, :, sv], qkvc_ref[gi, :, sv], n_valid), nv1)
+            p = _zero_tail_rows(
+                p_ref[gi, i][:, :npad].astype(jnp.float32), nv1)
+
+            dt = q.dtype
+            gf = _zero_tail_rows(
+                _set_row(g_ref[gi, :, sq], gc_ref[gi, :, sq], n_valid), nv1,
+            )
+            dv = jax.lax.dot_general(
+                p.astype(dt), gf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[gi, :, sv] = dv.astype(dqkv_ref.dtype)
+            dqkvc_ref[gi, :, sv] = dv[n_valid:nv1].astype(dqkvc_ref.dtype)
+
+            dp = jax.lax.dot_general(
+                gf, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds_c = ds.astype(dt)
+            dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
+            dqkv_ref[gi, :, sq] = dq.astype(dqkv_ref.dtype)
+            dqkvc_ref[gi, :, sq] = dq[n_valid:nv1].astype(dqkvc_ref.dtype)
+            dk = jax.lax.dot_general(
+                ds_c, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqkv_ref[gi, :, sk] = dk.astype(dqkv_ref.dtype)
+            dqkvc_ref[gi, :, sk] = dk[n_valid:nv1].astype(dqkvc_ref.dtype)
+
+
+def _flash_cls_qkv_fwd_sp(qkv, qkv_c, num_heads: int, scale: float):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
+    assert hpb > 0, f"unsupported geometry: d={d}, H={num_heads}"
+    gb = _sp_batch_group(b)
+    npad = _pad_rows(n + 1)
+    kpad = _round_up(npad, 128)
+    w = d * hpb
+    qspec = _head_spec(npad, 3 * w, gb)
+    qcspec = _cls_spec(3 * w, gb)
+    spec = _head_spec(npad, w, gb)
+    cspec = _cls_spec(w, gb)
+    ps = pl.BlockSpec((gb, hpb, npad, kpad), lambda bi, g: (bi, g, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_cls_qkv_kernel_sp, scale=scale, n_valid=n,
+                          d=d, hpb=hpb, gb=gb, kpad=kpad),
+        grid=(b // gb, num_heads // hpb),
+        in_specs=[qspec, qcspec],
+        out_specs=[spec, cspec, ps],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, 1, c), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, num_heads, npad, kpad),
+                                        qkv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * (npad + 1) * (npad + 1) * d,
+            bytes_accessed=(4 * b * (n + 1) * c
+                            + b * num_heads * npad * kpad)
+            * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * (npad + 1) * (npad + 1),
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv_c)
+
+
+def _flash_cls_qkv_bwd_sp(qkv, qkv_c, probs, g, gc, num_heads: int,
+                          scale: float):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
+    gb = _sp_batch_group(b)
+    npad = _pad_rows(n + 1)
+    kpad = _round_up(npad, 128)
+    w = d * hpb
+    qspec = _head_spec(npad, 3 * w, gb)
+    qcspec = _cls_spec(3 * w, gb)
+    spec = _head_spec(npad, w, gb)
+    cspec = _cls_spec(w, gb)
+    ps = pl.BlockSpec((gb, hpb, npad, kpad), lambda bi, g2: (bi, g2, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_cls_qkv_kernel_sp, scale=scale, n_valid=n,
+                          d=d, hpb=hpb, gb=gb, npad=npad),
+        grid=(b // gb, num_heads // hpb),
+        in_specs=[qspec, qcspec, spec, cspec, ps],
+        out_specs=[qspec, qcspec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, 1, c3), qkv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * (npad + 1) * (npad + 1) * d,
+            bytes_accessed=(8 * b * (n + 1) * c
+                            + b * num_heads * npad * kpad)
+            * qkv.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv_c, g, gc, probs)
+
+
 # lane factors are replicated under a mesh (the temporal-kernel precedent:
 # distinct in/out channel factors); TP meshes keep the head-sharded
 # separate-q/k/v kernel instead — ops/attention.py gates the fused-qkv path
@@ -618,15 +792,27 @@ def flash_attention_cls_qkv(qkv, qkv_c, num_heads, scale):
 
 
 def _facq_fwd(qkv, qkv_c, num_heads, scale):
+    if _save_spatial_probs() and jax.device_count() == 1:
+        # single-chip bench experiment: probs travel as a named residual
+        # (the same "flash_attn_out" bucket the remat policy keeps)
+        from jax.ad_checkpoint import checkpoint_name
+
+        out, out_c, probs = _flash_cls_qkv_fwd_sp(qkv, qkv_c, num_heads,
+                                                  scale)
+        probs = checkpoint_name(probs, "flash_attn_out")
+        return (out, out_c), (qkv, qkv_c, probs)
     return _flash_cls_qkv_fwd_sharded(qkv, qkv_c, num_heads, scale), (
-        qkv, qkv_c,
+        qkv, qkv_c, None,
     )
 
 
 def _facq_bwd(num_heads, scale, res, gs):
-    qkv, qkv_c = res
+    qkv, qkv_c, probs = res
     g, gc = gs
-    return _flash_cls_qkv_bwd_sharded(qkv, qkv_c, g, gc, num_heads, scale)
+    if probs is None:
+        return _flash_cls_qkv_bwd_sharded(qkv, qkv_c, g, gc, num_heads,
+                                          scale)
+    return _flash_cls_qkv_bwd_sp(qkv, qkv_c, probs, g, gc, num_heads, scale)
 
 
 flash_attention_cls_qkv.defvjp(_facq_fwd, _facq_bwd)

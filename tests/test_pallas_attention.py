@@ -324,3 +324,34 @@ def test_flash_temporal_batched_matches_v2(monkeypatch):
     np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_flash_cls_qkv_saved_probs_matches_recompute(monkeypatch):
+    """SPATIAL_SAVE_PROBS=1 (backward from forward-saved probabilities)
+    matches the recompute backward, values and grads."""
+    from procedurevrl_tpu.ops.attention import qkv_window_perm
+    from procedurevrl_tpu.ops.pallas_attention import (
+        _heads_per_block, flash_attention_cls_qkv,
+    )
+
+    rng = np.random.RandomState(13)
+    b, n, heads, d = 2, 196, 4, 64
+    c = heads * d
+    scale = d ** -0.5
+    perm = np.asarray(qkv_window_perm(c, heads, _heads_per_block(d, heads)))
+    qkv = jnp.asarray(rng.randn(b, n, 3 * c), jnp.float32)[..., perm]
+    qkv_c = jnp.asarray(rng.randn(b, 1, 3 * c), jnp.float32)[..., perm]
+
+    def loss(qkv, qkv_c):
+        f, cl = flash_attention_cls_qkv(qkv, qkv_c, heads, scale)
+        return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(cl))
+
+    monkeypatch.setenv("SPATIAL_SAVE_PROBS", "0")
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
+    monkeypatch.setenv("SPATIAL_SAVE_PROBS", "1")
+    v_new, g_new = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
+    for i, (a, b_) in enumerate(zip(g_new, g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"grad arg {i}")
