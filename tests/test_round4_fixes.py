@@ -77,3 +77,23 @@ def test_load_config_tp_gates_fused_qkv():
         timeout=180, cwd="/root/repo",
     )
     assert "GATE_OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_kernel_bench_families_construct(monkeypatch):
+    """Every kernel_bench family builds its operands and reaches the
+    measurement harness (mocked out — executing interpret-mode kernels at
+    bench scale is a TPU-only affair).  Guards the tool against geometry
+    bit-rot when kernel signatures change."""
+    import tools.kernel_bench as kb
+
+    calls = []
+
+    def fake_bench(loss, args, grad_arg=0, n=kb.N_ITERS):
+        calls.append(len(args))
+        return 0.0, 0.0
+
+    monkeypatch.setattr(kb, "_bench", fake_bench)
+    for name, fn in kb.FAMILIES.items():
+        fwd, fb = fn()
+        assert (fwd, fb) == (0.0, 0.0), name
+    assert len(calls) == len(kb.FAMILIES)
