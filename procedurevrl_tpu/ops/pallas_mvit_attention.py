@@ -35,6 +35,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from procedurevrl_tpu.ops.pallas_attention import _interpret, _round_up
+from procedurevrl_tpu.ops.pallas_partition import _wrap, partition_aware
+
+# einsum-style sharding rules shared by the per-head and head-last kernel
+# wrappers: batch dim (B or B*H) shards over `data`, everything else
+# replicated (factors listed in first-appearance order — shardy rejects
+# unsorted "special factor" indices)
+_MVIT_FWD_RULE = ("b q c, b k c, b k c, b u c, b u c, b q rt, b q rh, "
+                  "b q rw -> b q c")
+_MVIT_BWD_RULE = ("b q c, b k c, b k c, b u c, b u c, b q rt, b q rh, "
+                  "b q rw, b q c -> b q c, b k c, b k c, b u c, b u c, "
+                  "b q rt, b q rh, b q rw")
+_MVIT_REPL = ("q", "c", "k", "u", "rt", "rh", "rw")
 
 TQ = 512  # default query rows per tile
 
@@ -80,6 +92,26 @@ def expanders(k_shape, kp: int) -> tuple:
     e_t[cols // (k_h * k_w), cols] = 1.0
     e_h[(cols // k_w) % k_h, cols] = 1.0
     e_w[cols % k_w, cols] = 1.0
+    return e_t, e_h, e_w
+
+
+def expanders_jnp(k_shape, kp: int) -> tuple:
+    """:func:`expanders` as TRACED lax ops (iota + compare), not numpy
+    constants: the partition-aware wrappers trace the kernel callers under
+    ``custom_partitioning``, which rejects closure constants (jaxprs must
+    be const-free), and building the matrices on-device is free anyway."""
+    k_t, k_h, k_w = k_shape
+    kn = k_t * k_h * k_w
+
+    def one(rows_n, sel):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, kp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows_n, kp), 1)
+        return jnp.where(jnp.logical_and(rows == sel(cols), cols < kn),
+                         jnp.float32(1), jnp.float32(0))
+
+    e_t = one(k_t, lambda c: c // (k_h * k_w))
+    e_h = one(k_h, lambda c: (c // k_w) % k_h)
+    e_w = one(k_w, lambda c: c % k_w)
     return e_t, e_h, e_w
 
 
@@ -275,7 +307,7 @@ def _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
     bh, qn, d = q.shape
     kn = k.shape[1]
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
     tq = _tile_q(kp)
     qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
     grid = (bh, (qn + tq - 1) // tq)
@@ -308,7 +340,7 @@ def _bwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale, g):
     kn = k.shape[1]
     k_t, k_h, k_w = k_shape
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
     tq = _tile_q(kp)
     qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
     kacc = pl.BlockSpec((1, kp, d), lambda b, t: (b, 0, 0),
@@ -348,7 +380,7 @@ def _bwd_saved(q, k, v, kc, vc, rel_t, rel_h, rel_w, probs, k_shape, scale,
     kn = k.shape[1]
     k_t, k_h, k_w = k_shape
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
     tq = _tile_q(kp)
     qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
     kacc = pl.BlockSpec((1, kp, d), lambda b, t: (b, 0, 0),
@@ -395,6 +427,52 @@ def _save_probs() -> bool:
     return os.environ.get("MVIT_SAVE_PROBS", "1") != "0"
 
 
+# partition-aware wrappers for the per-head kernel family (batch dim is
+# the folded B*H; see the head-last note above for why only dim 0 shards)
+def _fwd_plain_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
+    # explicit 10-arg adapter: custom_partitioning binds DEFAULTED params
+    # as traced operands, so wrapping _fwd directly would trace save_probs
+    return _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale)
+
+
+def _fwd_sp_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
+    return _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
+                save_probs=True)
+
+
+def _bwd_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, g, k_shape, scale):
+    return _bwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale, g)
+
+
+def _bwd_saved_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, probs, g, k_shape,
+                 scale):
+    return _bwd_saved(q, k, v, kc, vc, rel_t, rel_h, rel_w, probs, k_shape,
+                      scale, g)
+
+
+_fwd_ph_sharded = partition_aware(_fwd_plain_t, _wrap(
+    _fwd_plain_t, n_tensors=8, static_argnums=(8, 9),
+    rule=_MVIT_FWD_RULE, need_replication=_MVIT_REPL, shard_c=False,
+))
+_fwd_ph_sp_sharded = partition_aware(_fwd_sp_t, _wrap(
+    _fwd_sp_t, n_tensors=8, static_argnums=(8, 9),
+    rule=("b q c, b k c, b k c, b u c, b u c, b q rt, b q rh, b q rw -> "
+          "b q c, b q kp"),
+    need_replication=_MVIT_REPL + ("kp",), shard_c=False,
+))
+_bwd_ph_sharded = partition_aware(_bwd_t, _wrap(
+    _bwd_t, n_tensors=9, static_argnums=(9, 10),
+    rule=_MVIT_BWD_RULE, need_replication=_MVIT_REPL, shard_c=False,
+))
+_bwd_ph_saved_sharded = partition_aware(_bwd_saved_t, _wrap(
+    _bwd_saved_t, n_tensors=10, static_argnums=(10, 11),
+    rule=("b q c, b k c, b k c, b u c, b u c, b q rt, b q rh, b q rw, "
+          "b q kp, b q c -> b q c, b k c, b k c, b u c, b u c, b q rt, "
+          "b q rh, b q rw"),
+    need_replication=_MVIT_REPL + ("kp",), shard_c=False,
+))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def flash_attention_mvit(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
     """Body-query pooled attention with decomposed rel-pos bias.
@@ -404,17 +482,19 @@ def flash_attention_mvit(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
     bias tables (no bias lands on the cls key).  Returns the body-query
     outputs [BH, qN, d]; the cls query is one row — compute it outside.
     """
-    return _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale)
+    return _fwd_ph_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
+                           scale)
 
 
 def _vjp_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
     if not _save_probs():
-        out = _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale)
+        out = _fwd_ph_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
+                              scale)
         return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w, None)
     from jax.ad_checkpoint import checkpoint_name
 
-    out, probs = _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
-                      save_probs=True)
+    out, probs = _fwd_ph_sp_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w,
+                                    k_shape, scale)
     # named so remat policies keep the probs across the block boundary
     # (models/mvit.py lists "flash_attn_probs"); without it the backward
     # would rebuild the forward kernel just to regenerate them
@@ -425,8 +505,8 @@ def _vjp_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
 def _vjp_bwd(k_shape, scale, res, g):
     *primals, probs = res
     if probs is None:
-        return _bwd(*primals, k_shape, scale, g)
-    return _bwd_saved(*primals, probs, k_shape, scale, g)
+        return _bwd_ph_sharded(*primals, g, k_shape, scale)
+    return _bwd_ph_saved_sharded(*primals, probs, g, k_shape, scale)
 
 
 flash_attention_mvit.defvjp(_vjp_fwd, _vjp_bwd)
@@ -590,7 +670,7 @@ def _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale):
     kn = k.shape[1]
     k_t, k_h, k_w = k_shape
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
     hg, w, tq = _hl_geometry(kp, C, num_heads, d)
     hgn = num_heads // hg
     greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
@@ -621,7 +701,7 @@ def _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale,
     kn = k.shape[1]
     k_t, k_h, k_w = k_shape
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = (jnp.asarray(e) for e in expanders(k_shape, kp))
+    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
     hg, w, tq = _hl_geometry(kp, C, num_heads, d)
     hgn = num_heads // hg
     greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
@@ -1034,6 +1114,32 @@ def _vjp_hl_kt_bwd(k_shape, num_heads, scale, res, g):
 flash_attention_mvit_hl_kt.defvjp(_vjp_hl_kt_fwd, _vjp_hl_kt_bwd)
 
 
+# --- partition-aware wrappers ---------------------------------------------
+# Without these a multi-device mesh treats the pallas_call as an opaque
+# custom call: GSPMD all-gathers the batch-sharded operands and runs the
+# attention replicated on every chip (the round-2 weakness fixed for the
+# TimeSformer kernels in round 3; the MViT kernels were rewritten without
+# them).  Batch (dim 0 — B for head-last, B*H for the per-head kernel)
+# shards over `data`; everything else is replicated (MViT TP is not a
+# supported layout — the rel-pos tables would need head-group resharding).
+def _bwd_hl_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, g, k_shape, num_heads,
+              scale):
+    # tensor args first (g included) so the generic wrapper can append the
+    # statics at the end
+    return _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
+                   scale, g)
+
+
+_fwd_hl_sharded = partition_aware(_fwd_hl, _wrap(
+    _fwd_hl, n_tensors=8, static_argnums=(8, 9, 10),
+    rule=_MVIT_FWD_RULE, need_replication=_MVIT_REPL, shard_c=False,
+))
+_bwd_hl_sharded = partition_aware(_bwd_hl_t, _wrap(
+    _bwd_hl_t, n_tensors=9, static_argnums=(9, 10, 11),
+    rule=_MVIT_BWD_RULE, need_replication=_MVIT_REPL, shard_c=False,
+))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def flash_attention_mvit_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
                             num_heads, scale):
@@ -1044,19 +1150,19 @@ def flash_attention_mvit_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
     tables packed per head along lanes.  Returns body-query outputs
     [B, qN, H*d]; the cls query row is computed outside in plain XLA.
     """
-    return _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
-                   scale)
+    return _fwd_hl_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
+                           num_heads, scale)
 
 
 def _vjp_hl_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
                 scale):
-    out = _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
-                  scale)
+    out = _fwd_hl_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
+                          num_heads, scale)
     return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w)
 
 
 def _vjp_hl_bwd(k_shape, num_heads, scale, res, g):
-    return _bwd_hl(*res, k_shape, num_heads, scale, g)
+    return _bwd_hl_sharded(*res, g, k_shape, num_heads, scale)
 
 
 flash_attention_mvit_hl.defvjp(_vjp_hl_fwd, _vjp_hl_bwd)

@@ -44,42 +44,58 @@ def _wrap(impl: Callable, *, n_tensors: int, static_argnums,
     """custom_partitioning wrapper for an attention kernel whose tensor
     args/outputs are all ``[B, ..., C]`` with shared batch/channel specs.
 
-    The per-shard lowering recomputes the local head count from the local
-    channel width, so a ``model``-axis channel sharding runs each shard's
-    own head group.  Channel shardings that do not divide the head count
-    are legalized to replicated (the partitioner inserts the reshard).
+    Any number of trailing static args is supported (custom_partitioning
+    passes them positionally before ``mesh``).  When ``shard_c`` the FIRST
+    static must be ``num_heads``: the per-shard lowering recomputes the
+    local head count from the local channel width, so a ``model``-axis
+    channel sharding runs each shard's own head group.  Channel shardings
+    that do not divide the head count are legalized to replicated (the
+    partitioner inserts the reshard).  Outputs may have other ranks than
+    ``rank`` — only dim 0 (batch) is ever sharded on them.
     """
     part = custom_partitioning(impl, static_argnums=static_argnums)
+    n_static = len(static_argnums)
 
-    def partition(num_heads, scale, mesh, arg_shapes, result_shape):
+    def _out_sharding(mesh, b_names, c_names, result_shape):
+        def one(r):
+            nd = len(r.shape)
+            mid = (None,) * (nd - 2)
+            c = c_names if (shard_c and nd == rank) else None
+            return NamedSharding(mesh, P(b_names, *mid, c))
+        return jax.tree.map(one, result_shape)
+
+    def partition(*cb_args):
+        statics = cb_args[:n_static]
+        mesh, arg_shapes, result_shape = cb_args[n_static:]
         q = arg_shapes[0]
         spec = tuple(q.sharding.spec)
         spec += (None,) * (rank - len(spec))
         b_names = spec[0]
         c_names = spec[-1] if shard_c else None
+        num_heads = statics[0] if shard_c else None
         if c_names is not None and num_heads % _axis_count(mesh, c_names):
             c_names = None
         C = q.shape[-1]
         mid = (None,) * (rank - 2)
         ns = NamedSharding(mesh, P(b_names, *mid, c_names))
         arg_shardings = tuple(ns for _ in arg_shapes)
-        out_shardings = jax.tree.map(lambda _: ns, result_shape)
+        out_shardings = _out_sharding(mesh, b_names, c_names, result_shape)
 
         def lower_fn(*args):
-            local_heads = num_heads * args[0].shape[-1] // C
-            return impl(*args, local_heads, scale)
+            if shard_c:
+                local_heads = num_heads * args[0].shape[-1] // C
+                return impl(*args, local_heads, *statics[1:])
+            return impl(*args, *statics)
 
         return mesh, lower_fn, out_shardings, arg_shardings
 
-    def infer_sharding_from_operands(num_heads, scale, mesh, arg_shapes,
-                                     result_shape):
+    def infer_sharding_from_operands(*cb_args):
+        mesh, arg_shapes, result_shape = cb_args[n_static:]
         q = arg_shapes[0]
         spec = tuple(q.sharding.spec)
         spec += (None,) * (rank - len(spec))
         c = spec[-1] if shard_c else None
-        mid = (None,) * (rank - 2)
-        ns = NamedSharding(mesh, P(spec[0], *mid, c))
-        return jax.tree.map(lambda _: ns, result_shape)
+        return _out_sharding(mesh, spec[0], c, result_shape)
 
     part.def_partition(
         partition,

@@ -97,3 +97,63 @@ def test_kernel_bench_families_construct(monkeypatch):
         fwd, fb = fn()
         assert (fwd, fb) == (0.0, 0.0), name
     assert len(calls) == len(kb.FAMILIES)
+
+
+def test_mvit_kernels_shard_over_batch():
+    """The MViT pooled-attention kernels are partition-aware: batch-sharded
+    operands under an 8-device mesh reproduce the replicated loss and grads
+    (without the wrappers GSPMD would all-gather and replicate the opaque
+    custom call — the round-2 weakness fixed for the TimeSformer kernels in
+    round 3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from procedurevrl_tpu.ops.pallas_mvit_attention import (
+        flash_attention_mvit, flash_attention_mvit_hl,
+    )
+    from procedurevrl_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh(data=8, model=1)
+    rng = np.random.RandomState(17)
+    B, H, d = 8, 4, 96
+    q_shape, k_shape = (4, 7, 7), (4, 4, 4)
+    qn, kn = int(np.prod(q_shape)), int(np.prod(k_shape))
+    scale = d ** -0.5
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.3, jnp.float32)
+    # head-last operands [B, L, H*d]
+    hl_args = (mk(B, qn, H * d), mk(B, kn, H * d), mk(B, kn, H * d),
+               mk(B, 1, H * d), mk(B, 1, H * d),
+               *(mk(B, qn, H * kk) for kk in k_shape))
+
+    def loss_hl(*a):
+        return jnp.sum(jnp.sin(
+            flash_attention_mvit_hl(*a, k_shape, H, scale)))
+
+    base = jax.jit(jax.value_and_grad(loss_hl, argnums=(0, 5)))(*hl_args)
+    shard = NamedSharding(mesh, P("data", None, None))
+    with mesh:
+        a_s = [jax.device_put(t, shard) for t in hl_args]
+        out = jax.jit(jax.value_and_grad(loss_hl, argnums=(0, 5)))(*a_s)
+    np.testing.assert_allclose(float(base[0]), float(out[0]), rtol=1e-5)
+    for a, b in zip(base[1], out[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+    # per-head operands [B*H, L, d] (both saved-probs and recompute bwd)
+    ph_args = (mk(B * H, qn, d), mk(B * H, kn, d), mk(B * H, kn, d),
+               mk(B * H, 1, d), mk(B * H, 1, d),
+               *(mk(B * H, qn, kk) for kk in k_shape))
+
+    def loss_ph(*a):
+        return jnp.sum(jnp.sin(flash_attention_mvit(*a, k_shape, scale)))
+
+    base_p = jax.jit(jax.value_and_grad(loss_ph, argnums=(1,)))(*ph_args)
+    with mesh:
+        a_s = [jax.device_put(t, shard) for t in ph_args]
+        out_p = jax.jit(jax.value_and_grad(loss_ph, argnums=(1,)))(*a_s)
+    np.testing.assert_allclose(float(base_p[0]), float(out_p[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(base_p[1][0]),
+                               np.asarray(out_p[1][0]),
+                               atol=1e-4, rtol=1e-4)
