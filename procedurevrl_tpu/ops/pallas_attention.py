@@ -483,6 +483,8 @@ def _fwd_cls_qkv_kernel(qkv_ref, qkvc_ref, o_ref, oc_ref, *, scale: float,
 
 
 def _flash_cls_qkv_fwd(qkv, qkv_c, num_heads: int, scale: float):
+    if _spatial_pipe():
+        return _flash_cls_qkv_fwd_pipe(qkv, qkv_c, num_heads, scale)
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
@@ -587,6 +589,158 @@ def _flash_cls_qkv_bwd(qkv, qkv_c, g, gc, num_heads: int, scale: float):
         ),
         interpret=_interpret(),
     )(qkv, qkv_c, g, gc)
+
+
+# --- manually pipelined forward (opt-in SPATIAL_PIPE=1) ------------------
+# BASELINE round 3: the auto-pipelined fused-qkv forward measures
+# ~1.59 ms/block in-model vs a ~0.7 ms DMA+softmax floor, and the
+# PALLAS_GB/HPB knob sweeps are exhausted — the residual is per-grid-step
+# DMA latency at the (gb, head-group) granularity Mosaic double-buffers.
+# This variant owns its DMA schedule: operands stay in HBM (pl.ANY) and
+# the kernel streams [gb, N, 3w] batch-chunks per head-group window
+# through an NBUF-deep rotating buffer (SPATIAL_PIPE_NBUF, default 3),
+# overlapping input DMA, compute, and output DMA with NBUF-1 chunks of
+# lookahead instead of Mosaic's fixed 1.  Bonus over the grid kernel: the
+# cls row is DMA'd STRAIGHT into the tile's padding row (two sources, one
+# buffer), so the per-head _set_row splices disappear from the VPU path.
+
+
+def _spatial_pipe() -> bool:
+    import os
+
+    return os.environ.get("SPATIAL_PIPE", "0") == "1"
+
+
+def _pipe_nbuf() -> int:
+    import os
+
+    return int(os.environ.get("SPATIAL_PIPE_NBUF", "3"))
+
+
+def _pipe_kernel(qkv_hbm, qc_hbm, o_hbm, oc_hbm, *, scale: float, n: int,
+                 npad: int, d: int, hpb: int, gb: int, nbuf: int, G: int,
+                 nch: int):
+    w = d * hpb
+    steps = G * nch
+
+    def body(buf, obuf, clsout, sem_in, sem_cls, sem_out, sem_co):
+        def in_dma(l, s):
+            g, cb = l // nch, l % nch
+            return pltpu.make_async_copy(
+                qkv_hbm.at[pl.ds(cb * gb, gb), :, pl.ds(g * 3 * w, 3 * w)],
+                buf.at[s, :, pl.ds(0, n), :], sem_in.at[s])
+
+        def in_cls_dma(l, s):
+            # the cls row lands in the tile's padding row ``n`` — the
+            # splice the grid kernel does in-register per head pair
+            g, cb = l // nch, l % nch
+            return pltpu.make_async_copy(
+                qc_hbm.at[pl.ds(cb * gb, gb), :, pl.ds(g * 3 * w, 3 * w)],
+                buf.at[s, :, pl.ds(n, 1), :], sem_cls.at[s])
+
+        def out_dma(l, s):
+            g, cb = l // nch, l % nch
+            return pltpu.make_async_copy(
+                obuf.at[s, :, pl.ds(0, n), :],
+                o_hbm.at[pl.ds(cb * gb, gb), :, pl.ds(g * w, w)],
+                sem_out.at[s])
+
+        def clsout_dma(g):
+            return pltpu.make_async_copy(
+                clsout.at[g % 2],
+                oc_hbm.at[:, :, pl.ds(g * w, w)], sem_co.at[g % 2])
+
+        for i in range(min(nbuf, steps)):
+            in_dma(i, i).start()
+            in_cls_dma(i, i).start()
+
+        def loop(l, _):
+            g, cb = l // nch, l % nch
+            s = l % nbuf
+            in_dma(l, s).wait()
+            in_cls_dma(l, s).wait()
+
+            @pl.when(l >= nbuf)
+            def _():
+                out_dma(l - nbuf, s).wait()
+
+            if G > 2:
+                @pl.when(jnp.logical_and(cb == 0, g >= 2))
+                def _():
+                    clsout_dma(g - 2).wait()
+
+            for bi in range(gb):
+                for i in range(hpb):
+                    sq = slice(i * d, (i + 1) * d)
+                    sk = slice(w + i * d, w + (i + 1) * d)
+                    sv = slice(2 * w + i * d, 2 * w + (i + 1) * d)
+                    q = buf[s, bi, :, sq]
+                    k = buf[s, bi, :, sk]
+                    v = _zero_tail_rows(buf[s, bi, :, sv], n + 1)
+                    p = _softmax_probs(q, k, scale, n + 1)
+                    o = jnp.dot(p.astype(v.dtype), v,
+                                preferred_element_type=jnp.float32)
+                    obuf[s, bi, :, sq] = o.astype(obuf.dtype)
+                    clsout[g % 2, cb * gb + bi, :, sq] = (
+                        o[n:n + 1, :].astype(clsout.dtype))
+
+            out_dma(l, s).start()
+
+            @pl.when(cb == nch - 1)
+            def _():
+                clsout_dma(g).start()
+
+            @pl.when(l + nbuf < steps)
+            def _():
+                in_dma(l + nbuf, s).start()
+                in_cls_dma(l + nbuf, s).start()
+            return None
+
+        jax.lax.fori_loop(0, steps, loop, None)
+        for t in range(max(0, steps - nbuf), steps):
+            out_dma(t, t % nbuf).wait()
+        for g in range(max(0, G - (2 if G > 2 else G)), G):
+            clsout_dma(g).wait()
+
+    pl.run_scoped(
+        body,
+        buf=pltpu.VMEM((nbuf, gb, npad, 3 * w), qkv_hbm.dtype),
+        obuf=pltpu.VMEM((nbuf, gb, npad, w), o_hbm.dtype),
+        clsout=pltpu.VMEM((2, o_hbm.shape[0], 1, w), oc_hbm.dtype),
+        sem_in=pltpu.SemaphoreType.DMA((nbuf,)),
+        sem_cls=pltpu.SemaphoreType.DMA((nbuf,)),
+        sem_out=pltpu.SemaphoreType.DMA((nbuf,)),
+        sem_co=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _flash_cls_qkv_fwd_pipe(qkv, qkv_c, num_heads: int, scale: float):
+    """Manually pipelined :func:`_flash_cls_qkv_fwd` (same layout contract:
+    window-permuted [B, N, 3C] qkv in, standard-order [B, N, C] out)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
+    assert hpb > 0, f"unsupported geometry: d={d}, H={num_heads}"
+    gb = _batch_group(b)
+    npad = _pad_rows(n + 1)
+    nbuf = max(2, min(_pipe_nbuf(), b // gb))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        functools.partial(
+            _pipe_kernel, scale=scale, n=n, npad=npad, d=d, hpb=hpb, gb=gb,
+            nbuf=nbuf, G=num_heads // hpb, nch=b // gb),
+        in_specs=[any_spec, any_spec],
+        out_specs=[any_spec, any_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, 1, c), qkv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * (npad + 1) * (npad + 1) * d,
+            bytes_accessed=4 * b * (n + 1) * c * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * (npad + 1) * (npad + 1),
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv_c)
 
 
 # --- saved-probabilities variant (opt-in SPATIAL_SAVE_PROBS=1) -----------

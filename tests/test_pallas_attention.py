@@ -355,3 +355,32 @@ def test_flash_cls_qkv_saved_probs_matches_recompute(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-5, rtol=5e-5,
                                    err_msg=f"grad arg {i}")
+
+
+def test_flash_cls_qkv_pipelined_matches_grid_kernel(monkeypatch):
+    """The manually pipelined forward (SPATIAL_PIPE=1: HBM-resident
+    operands, NBUF-deep rotating buffers, cls row DMA'd into the padding
+    row) reproduces the auto-pipelined grid kernel — values and grads
+    (the backward is shared; only the custom_vjp forward changes)."""
+    from procedurevrl_tpu.ops.pallas_attention import flash_attention_cls_qkv
+
+    rng = np.random.RandomState(11)
+    b, n, heads, d = 24, 49, 4, 64
+    c = heads * d
+    scale = d ** -0.5
+    qkv = jnp.asarray(rng.randn(b, n, 3 * c) * 0.3, jnp.float32)
+    qkv_c = jnp.asarray(rng.randn(b, 1, 3 * c) * 0.3, jnp.float32)
+
+    def loss(qkv, qkv_c):
+        f, cl = flash_attention_cls_qkv(qkv, qkv_c, heads, scale)
+        return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(cl))
+
+    monkeypatch.delenv("SPATIAL_PIPE", raising=False)
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
+    monkeypatch.setenv("SPATIAL_PIPE", "1")
+    v_new, g_new = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
+    for i, (a, b_) in enumerate(zip(g_new, g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"grad arg {i}")
