@@ -461,8 +461,9 @@ class MultiScaleAttention(nn.Module):
         """Flash pooled attention, head-LAST (see
         ``ops/pallas_mvit_attention.flash_attention_mvit_hl``): the
         [B, H, qN, kN] logits never hit HBM; rel-pos bias is decomposed
-        into three small per-head [.., qN, H*k_*] tables computed here and
-        expanded in-tile.  The single cls query row stays in plain XLA."""
+        into three small per-head tables computed here, CONCATENATED into
+        one [.., qN, H*(k_t+k_h+k_w)] operand, and expanded in-tile with a
+        single dot.  The single cls query row stays in plain XLA."""
         from procedurevrl_tpu.ops.pallas_mvit_attention import (
             flash_attention_mvit_hl,
         )
@@ -497,14 +498,23 @@ class MultiScaleAttention(nn.Module):
             hl_supported, kt_supported as _kt_supported,
         )
 
-        pack = lambda r, kk: r.astype(jnp.float32).reshape(B, qn, H * kk)
+        # CONCATENATED per-head bias table [.., H, k_t+k_h+k_w]: the
+        # kernels expand it with ONE dot against the row-stacked expander
+        # (three per-axis dots each cost a full contraction-starved MXU
+        # pass); XLA fuses this concat into the einsum producers, and its
+        # VJP performs the split on the way back.  Passed in the compute
+        # dtype — the kernels run the bias dot with input-dtype operands
+        # (fp32 tests stay exact; bf16 halves the rel DMA traffic).
+        kcat = k_t + k_h + k_w
+        rel_cat = jnp.concatenate(
+            [rel_t, rel_h, rel_w], axis=-1).astype(q.dtype)
+        pack = lambda r, kk: r.reshape(B, qn, H * kk)
         # MVIT_HL=0 forces the per-head kernel (head-split at this
         # boundary) while keeping the head-last pooling/layout elsewhere
         if hl_supported(kb.shape[1], C, H) and os.environ.get(
                 "MVIT_HL", "1") != "0":
             out_body = flash_attention_mvit_hl(
-                qb, kb, vb, kc, vc,
-                pack(rel_t, k_t), pack(rel_h, k_h), pack(rel_w, k_w),
+                qb, kb, vb, kc, vc, pack(rel_cat, kcat),
                 (k_t, k_h, k_w), H, float(scale),
             )
         elif os.environ.get("MVIT_KT", "0") == "1" and os.environ.get(
@@ -519,8 +529,7 @@ class MultiScaleAttention(nn.Module):
             )
 
             out_body = flash_attention_mvit_hl_kt(
-                qb, kb, vb, kc, vc,
-                pack(rel_t, k_t), pack(rel_h, k_h), pack(rel_w, k_w),
+                qb, kb, vb, kc, vc, pack(rel_cat, kcat),
                 (k_t, k_h, k_w), H, float(scale),
             )
         else:
@@ -533,11 +542,11 @@ class MultiScaleAttention(nn.Module):
             fold = lambda t: t.reshape(
                 B, t.shape[1], H, d).transpose(0, 2, 1, 3).reshape(
                 B * H, t.shape[1], d)
-            foldr = lambda r, kk: r.astype(jnp.float32).transpose(
+            foldr = lambda r, kk: r.transpose(
                 0, 4, 1, 2, 3, 5).reshape(B * H, qn, kk)
             out_body = flash_attention_mvit(
                 fold(qb), fold(kb), fold(vb), fold(kc), fold(vc),
-                foldr(rel_t, k_t), foldr(rel_h, k_h), foldr(rel_w, k_w),
+                foldr(rel_cat, kcat),
                 (k_t, k_h, k_w), float(scale),
             ).reshape(B, H, qn, d).transpose(0, 2, 1, 3).reshape(B, qn, C)
         # saved as a remat residual: re-running the attention kernel in

@@ -11,10 +11,12 @@ K/V block VMEM-resident:
   over the full [KP, d] key/value block (d = 96 rides the "full array dim"
   Mosaic lane rule);
 - the decomposed rel-pos bias ``bias[q, (t',h',w')] = rel_t[q,t'] +
-  rel_h[q,h'] + rel_w[q,w']`` is added in-tile as three tiny MXU matmuls
-  against constant 0/1 expander matrices ``e_* [k_*, KP]`` — the
-  ``[.., qN, k_*]`` rel tables are computed outside with small einsums
-  (qN x 7/8, negligible next to qN x kN) and never expanded in HBM;
+  rel_h[q,h'] + rel_w[q,w']`` is added in-tile as ONE MXU matmul of the
+  concatenated ``[.., qN, k_t+k_h+k_w]`` table against the row-stacked
+  0/1 expander ``E_cat [k_t+k_h+k_w, KP]`` (three separate dots each
+  cost a full K-chunk MXU pass at 8-14/128 contraction utilization) —
+  the rel tables are computed outside with small einsums (qN x 7/8,
+  negligible next to qN x kN) and never expanded in HBM;
 - the CLS key/value is spliced into the first key padding column (the same
   trick as the TimeSformer cls kernel); expander columns there are zero, so
   no bias lands on the cls key, matching the reference's body-only rel-pos.
@@ -41,12 +43,10 @@ from procedurevrl_tpu.ops.pallas_partition import _wrap, partition_aware
 # wrappers: batch dim (B or B*H) shards over `data`, everything else
 # replicated (factors listed in first-appearance order — shardy rejects
 # unsorted "special factor" indices)
-_MVIT_FWD_RULE = ("b q c, b k c, b k c, b u c, b u c, b q rt, b q rh, "
-                  "b q rw -> b q c")
-_MVIT_BWD_RULE = ("b q c, b k c, b k c, b u c, b u c, b q rt, b q rh, "
-                  "b q rw, b q c -> b q c, b k c, b k c, b u c, b u c, "
-                  "b q rt, b q rh, b q rw")
-_MVIT_REPL = ("q", "c", "k", "u", "rt", "rh", "rw")
+_MVIT_FWD_RULE = "b q c, b k c, b k c, b u c, b u c, b q r -> b q c"
+_MVIT_BWD_RULE = ("b q c, b k c, b k c, b u c, b u c, b q r, b q c -> "
+                  "b q c, b k c, b k c, b u c, b u c, b q r")
+_MVIT_REPL = ("q", "c", "k", "u", "r")
 
 TQ = 512  # default query rows per tile
 
@@ -115,6 +115,15 @@ def expanders_jnp(k_shape, kp: int) -> tuple:
     return e_t, e_h, e_w
 
 
+def expander_cat_jnp(k_shape, kp: int):
+    """ROW-STACKED expander [k_t + k_h + k_w, KP]: one MXU pass computes
+    the full decomposed bias ``rel_cat @ E_cat = rel_t@e_t + rel_h@e_h +
+    rel_w@e_w``.  Three separate dots each cost a full K-chunk MXU pass at
+    8-14/128 contraction utilization — fusing them collapses 3 passes (and
+    3 tiny-lane operand streams) into 1."""
+    return jnp.concatenate(expanders_jnp(k_shape, kp), axis=0)
+
+
 def _valid_rows(tile_idx, qn: int, tq: int):
     """Number of valid query rows in tile ``tile_idx`` (ragged tail)."""
     return jnp.minimum(qn - tile_idx * tq, tq)
@@ -125,22 +134,22 @@ def _mask_rows(x, n_valid):
     return jnp.where(rows < n_valid, x, jnp.zeros_like(x))
 
 
-def _probs(q, k, rel_t, rel_h, rel_w, e_t, e_h, e_w, scale: float, kn: int):
+def _probs(q, k, rel, e_cat, scale: float, kn: int):
     """fp32 softmax probs for one query tile over the spliced key block.
 
-    Key column ``kn`` is the cls (no bias); columns > kn are padding."""
+    ``rel`` is the CONCATENATED [TQ, k_t + k_h + k_w] per-axis table,
+    ``e_cat`` the row-stacked expander (:func:`expander_cat_jnp`) — the
+    whole decomposed bias is one dot.  Operands run in the input dtype
+    (exact for the 0/1 expander; fp32-operand MXU matmuls cost multiple
+    passes — the round-2 backward policy), accumulation fp32.  Key column
+    ``kn`` is the cls (no bias); columns > kn are padding."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [TQ, KP]
-    bias = (
-        jax.lax.dot_general(rel_t, e_t, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(rel_h, e_h, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(rel_w, e_w, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    )
-    s = s + bias
+    dt = q.dtype
+    s = s + jax.lax.dot_general(
+        rel.astype(dt), e_cat.astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col <= kn, s, jnp.finfo(jnp.float32).min)
     s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -153,36 +162,32 @@ def _splice_cls(k, kc, kn: int):
     return jnp.where(rows == kn, jnp.broadcast_to(kc, k.shape), k)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
-                et_ref, eh_ref, ew_ref, o_ref, *, scale: float, qn: int,
-                kn: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref, o_ref,
+                *, scale: float, qn: int, kn: int):
     k = _splice_cls(k_ref[0], kc_ref[0], kn)
     v = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
-    p = _probs(q_ref[0], k, rt_ref[0], rh_ref[0], rw_ref[0],
-               et_ref[...], eh_ref[...], ew_ref[...], scale, kn)
+    p = _probs(q_ref[0], k, rc_ref[0], ec_ref[...], scale, kn)
     o_ref[0] = jnp.dot(p.astype(v.dtype), v,
                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _fwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref,
-                          rh_ref, rw_ref, et_ref, eh_ref, ew_ref, o_ref,
-                          p_ref, *, scale: float, qn: int, kn: int):
+def _fwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref,
+                          ec_ref, o_ref, p_ref, *, scale: float, qn: int,
+                          kn: int):
     """Forward that ALSO writes the probabilities (input dtype) so the
     backward skips the 4 score matmuls + softmax chain entirely (the
     temporal-kernel pattern; the wide-key probs are only ~130 MB/step)."""
     k = _splice_cls(k_ref[0], kc_ref[0], kn)
     v = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
-    p = _probs(q_ref[0], k, rt_ref[0], rh_ref[0], rw_ref[0],
-               et_ref[...], eh_ref[...], ew_ref[...], scale, kn)
+    p = _probs(q_ref[0], k, rc_ref[0], ec_ref[...], scale, kn)
     pc = p.astype(v.dtype)
     p_ref[0] = pc.astype(p_ref.dtype)
     o_ref[0] = jnp.dot(pc, v,
                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
-                et_ref, eh_ref, ew_ref, g_ref,
-                dq_ref, dkf_ref, dvf_ref, drt_ref, drh_ref, drw_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref, g_ref,
+                dq_ref, dkf_ref, dvf_ref, drc_ref,
                 *, scale: float, qn: int, kn: int, tq: int):
     qt = pl.program_id(1)
     nvalid = _valid_rows(qt, qn, tq)
@@ -191,11 +196,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
     # (NaN in interpret mode) would still poison dq = ds @ k
     k = _mask_rows(_splice_cls(k_ref[0], kc_ref[0], kn), kn + 1)
     v = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
-    rt = _mask_rows(rt_ref[0], nvalid)
-    rh = _mask_rows(rh_ref[0], nvalid)
-    rw = _mask_rows(rw_ref[0], nvalid)
-    et, eh, ew = et_ref[...], eh_ref[...], ew_ref[...]
-    p = _probs(q, k, rt, rh, rw, et, eh, ew, scale, kn)
+    rc = _mask_rows(rc_ref[0], nvalid)
+    ec = ec_ref[...]
+    p = _probs(q, k, rc, ec, scale, kn)
     gf = _mask_rows(g_ref[0].astype(jnp.float32), nvalid)
 
     dv = jax.lax.dot_general(p, gf, (((0,), (0,)), ((), ())),
@@ -210,15 +213,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
     dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
                              (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
-    drt_ref[0] = jax.lax.dot_general(
-        ds, et, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(drt_ref.dtype)
-    drh_ref[0] = jax.lax.dot_general(
-        ds, eh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(drh_ref.dtype)
-    drw_ref[0] = jax.lax.dot_general(
-        ds, ew, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(drw_ref.dtype)
+    drc_ref[0] = jax.lax.dot_general(
+        ds, ec, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drc_ref.dtype)
 
     @pl.when(qt == 0)
     def _init():
@@ -230,8 +227,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref, rw_ref,
 
 
 def _bwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, g_ref, p_ref,
-                          et_ref, eh_ref, ew_ref,
-                          dq_ref, dkf_ref, dvf_ref, drt_ref, drh_ref, drw_ref,
+                          ec_ref, dq_ref, dkf_ref, dvf_ref, drc_ref,
                           *, scale: float, qn: int, kn: int, tq: int):
     """Backward from SAVED probabilities: no score recompute (the 4 MXU
     matmuls + fp32 softmax chain of :func:`_probs` disappear), and the
@@ -260,18 +256,10 @@ def _bwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, g_ref, p_ref,
                  * scale).astype(dq_ref.dtype)
     dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
-    et = et_ref[...].astype(dt)
-    eh = eh_ref[...].astype(dt)
-    ew = ew_ref[...].astype(dt)
-    drt_ref[0] = jax.lax.dot_general(
-        ds_c, et, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(drt_ref.dtype)
-    drh_ref[0] = jax.lax.dot_general(
-        ds_c, eh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(drh_ref.dtype)
-    drw_ref[0] = jax.lax.dot_general(
-        ds_c, ew, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(drw_ref.dtype)
+    ec = ec_ref[...].astype(dt)
+    drc_ref[0] = jax.lax.dot_general(
+        ds_c, ec, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drc_ref.dtype)
 
     @pl.when(qt == 0)
     def _init():
@@ -283,33 +271,27 @@ def _bwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, g_ref, p_ref,
 
 
 def _specs(bh: int, qn: int, kp: int, d: int, k_shape, tq: int):
-    k_t, k_h, k_w = k_shape
+    kcat = sum(k_shape)
     qs = pl.BlockSpec((1, tq, d), lambda b, t: (b, t, 0),
                       memory_space=pltpu.VMEM)
     ks = pl.BlockSpec((1, kp, d), lambda b, t: (b, 0, 0),
                       memory_space=pltpu.VMEM)
     cs = pl.BlockSpec((1, 1, d), lambda b, t: (b, 0, 0),
                       memory_space=pltpu.VMEM)
-    rt = pl.BlockSpec((1, tq, k_t), lambda b, t: (b, t, 0),
+    rc = pl.BlockSpec((1, tq, kcat), lambda b, t: (b, t, 0),
                       memory_space=pltpu.VMEM)
-    rh = pl.BlockSpec((1, tq, k_h), lambda b, t: (b, t, 0),
+    ec = pl.BlockSpec((kcat, kp), lambda b, t: (0, 0),
                       memory_space=pltpu.VMEM)
-    rw = pl.BlockSpec((1, tq, k_w), lambda b, t: (b, t, 0),
-                      memory_space=pltpu.VMEM)
-    et = pl.BlockSpec((k_t, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
-    eh = pl.BlockSpec((k_h, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
-    ew = pl.BlockSpec((k_w, kp), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
-    return qs, ks, cs, rt, rh, rw, et, eh, ew
+    return qs, ks, cs, rc, ec
 
 
-def _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
-         save_probs: bool = False):
+def _fwd(q, k, v, kc, vc, rel, k_shape, scale, save_probs: bool = False):
     bh, qn, d = q.shape
     kn = k.shape[1]
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
+    e_cat = expander_cat_jnp(k_shape, kp)
     tq = _tile_q(kp)
-    qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
+    qs, ks, cs, rc, ec = _specs(bh, qn, kp, d, k_shape, tq)
     grid = (bh, (qn + tq - 1) // tq)
     ps = pl.BlockSpec((1, tq, kp), lambda b, t: (b, t, 0),
                       memory_space=pltpu.VMEM)
@@ -318,7 +300,7 @@ def _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
             _fwd_kernel_saveprobs if save_probs else _fwd_kernel,
             scale=scale, qn=qn, kn=kn),
         grid=grid,
-        in_specs=[qs, ks, ks, cs, cs, rt, rh, rw, et, eh, ew],
+        in_specs=[qs, ks, ks, cs, cs, rc, ec],
         out_specs=[qs, ps] if save_probs else qs,
         out_shape=(
             [jax.ShapeDtypeStruct((bh, qn, d), q.dtype),
@@ -332,32 +314,29 @@ def _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
             transcendentals=bh * qn * kp,
         ),
         interpret=_interpret(),
-    )(q, k, v, kc, vc, rel_t, rel_h, rel_w, e_t, e_h, e_w)
+    )(q, k, v, kc, vc, rel, e_cat)
 
 
-def _bwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale, g):
+def _bwd(q, k, v, kc, vc, rel, k_shape, scale, g):
     bh, qn, d = q.shape
     kn = k.shape[1]
-    k_t, k_h, k_w = k_shape
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
+    e_cat = expander_cat_jnp(k_shape, kp)
     tq = _tile_q(kp)
-    qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
+    qs, ks, cs, rc, ec = _specs(bh, qn, kp, d, k_shape, tq)
     kacc = pl.BlockSpec((1, kp, d), lambda b, t: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     grid = (bh, (qn + tq - 1) // tq)
-    dq, dkf, dvf, drt, drh, drw = pl.pallas_call(
+    dq, dkf, dvf, drc = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, qn=qn, kn=kn, tq=tq),
         grid=grid,
-        in_specs=[qs, ks, ks, cs, cs, rt, rh, rw, et, eh, ew, qs],
-        out_specs=[qs, kacc, kacc, rt, rh, rw],
+        in_specs=[qs, ks, ks, cs, cs, rc, ec, qs],
+        out_specs=[qs, kacc, kacc, rc],
         out_shape=[
             jax.ShapeDtypeStruct((bh, qn, d), q.dtype),
             jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, qn, k_t), jnp.float32),
-            jax.ShapeDtypeStruct((bh, qn, k_h), jnp.float32),
-            jax.ShapeDtypeStruct((bh, qn, k_w), jnp.float32),
+            jax.ShapeDtypeStruct((bh, qn, sum(k_shape)), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * bh * qn * kp * d,
@@ -365,42 +344,37 @@ def _bwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale, g):
             transcendentals=bh * qn * kp,
         ),
         interpret=_interpret(),
-    )(q, k, v, kc, vc, rel_t, rel_h, rel_w, e_t, e_h, e_w, g)
+    )(q, k, v, kc, vc, rel, e_cat, g)
     dk = dkf[:, :kn].astype(k.dtype)
     dv = dvf[:, :kn].astype(v.dtype)
     dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
     dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
-    return (dq, dk, dv, dkc, dvc, drt.astype(rel_t.dtype),
-            drh.astype(rel_h.dtype), drw.astype(rel_w.dtype))
+    return dq, dk, dv, dkc, dvc, drc.astype(rel.dtype)
 
 
-def _bwd_saved(q, k, v, kc, vc, rel_t, rel_h, rel_w, probs, k_shape, scale,
-               g):
+def _bwd_saved(q, k, v, kc, vc, rel, probs, k_shape, scale, g):
     bh, qn, d = q.shape
     kn = k.shape[1]
-    k_t, k_h, k_w = k_shape
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
+    e_cat = expander_cat_jnp(k_shape, kp)
     tq = _tile_q(kp)
-    qs, ks, cs, rt, rh, rw, et, eh, ew = _specs(bh, qn, kp, d, k_shape, tq)
+    qs, ks, cs, rc, ec = _specs(bh, qn, kp, d, k_shape, tq)
     kacc = pl.BlockSpec((1, kp, d), lambda b, t: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     ps = pl.BlockSpec((1, tq, kp), lambda b, t: (b, t, 0),
                       memory_space=pltpu.VMEM)
     grid = (bh, (qn + tq - 1) // tq)
-    dq, dkf, dvf, drt, drh, drw = pl.pallas_call(
+    dq, dkf, dvf, drc = pl.pallas_call(
         functools.partial(_bwd_kernel_saveprobs, scale=scale, qn=qn, kn=kn,
                           tq=tq),
         grid=grid,
-        in_specs=[qs, ks, ks, cs, cs, qs, ps, et, eh, ew],
-        out_specs=[qs, kacc, kacc, rt, rh, rw],
+        in_specs=[qs, ks, ks, cs, cs, qs, ps, ec],
+        out_specs=[qs, kacc, kacc, rc],
         out_shape=[
             jax.ShapeDtypeStruct((bh, qn, d), q.dtype),
             jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, qn, k_t), jnp.float32),
-            jax.ShapeDtypeStruct((bh, qn, k_h), jnp.float32),
-            jax.ShapeDtypeStruct((bh, qn, k_w), jnp.float32),
+            jax.ShapeDtypeStruct((bh, qn, sum(k_shape)), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * bh * qn * kp * d,
@@ -409,13 +383,12 @@ def _bwd_saved(q, k, v, kc, vc, rel_t, rel_h, rel_w, probs, k_shape, scale,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(q, k, v, kc, vc, g, probs, e_t, e_h, e_w)
+    )(q, k, v, kc, vc, g, probs, e_cat)
     dk = dkf[:, :kn].astype(k.dtype)
     dv = dvf[:, :kn].astype(v.dtype)
     dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
     dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
-    return (dq, dk, dv, dkc, dvc, drt.astype(rel_t.dtype),
-            drh.astype(rel_h.dtype), drw.astype(rel_w.dtype))
+    return dq, dk, dv, dkc, dvc, drc.astype(rel.dtype)
 
 
 def _save_probs() -> bool:
@@ -429,77 +402,72 @@ def _save_probs() -> bool:
 
 # partition-aware wrappers for the per-head kernel family (batch dim is
 # the folded B*H; see the head-last note above for why only dim 0 shards)
-def _fwd_plain_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
-    # explicit 10-arg adapter: custom_partitioning binds DEFAULTED params
+def _fwd_plain_t(q, k, v, kc, vc, rel, k_shape, scale):
+    # explicit-arity adapter: custom_partitioning binds DEFAULTED params
     # as traced operands, so wrapping _fwd directly would trace save_probs
-    return _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale)
+    return _fwd(q, k, v, kc, vc, rel, k_shape, scale)
 
 
-def _fwd_sp_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
-    return _fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale,
-                save_probs=True)
+def _fwd_sp_t(q, k, v, kc, vc, rel, k_shape, scale):
+    return _fwd(q, k, v, kc, vc, rel, k_shape, scale, save_probs=True)
 
 
-def _bwd_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, g, k_shape, scale):
-    return _bwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale, g)
+def _bwd_t(q, k, v, kc, vc, rel, g, k_shape, scale):
+    return _bwd(q, k, v, kc, vc, rel, k_shape, scale, g)
 
 
-def _bwd_saved_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, probs, g, k_shape,
-                 scale):
-    return _bwd_saved(q, k, v, kc, vc, rel_t, rel_h, rel_w, probs, k_shape,
-                      scale, g)
+def _bwd_saved_t(q, k, v, kc, vc, rel, probs, g, k_shape, scale):
+    return _bwd_saved(q, k, v, kc, vc, rel, probs, k_shape, scale, g)
 
 
 _fwd_ph_sharded = partition_aware(_fwd_plain_t, _wrap(
-    _fwd_plain_t, n_tensors=8, static_argnums=(8, 9),
+    _fwd_plain_t, n_tensors=6, static_argnums=(6, 7),
     rule=_MVIT_FWD_RULE, need_replication=_MVIT_REPL, shard_c=False,
 ))
 _fwd_ph_sp_sharded = partition_aware(_fwd_sp_t, _wrap(
-    _fwd_sp_t, n_tensors=8, static_argnums=(8, 9),
-    rule=("b q c, b k c, b k c, b u c, b u c, b q rt, b q rh, b q rw -> "
-          "b q c, b q kp"),
+    _fwd_sp_t, n_tensors=6, static_argnums=(6, 7),
+    rule="b q c, b k c, b k c, b u c, b u c, b q r -> b q c, b q kp",
     need_replication=_MVIT_REPL + ("kp",), shard_c=False,
 ))
 _bwd_ph_sharded = partition_aware(_bwd_t, _wrap(
-    _bwd_t, n_tensors=9, static_argnums=(9, 10),
+    _bwd_t, n_tensors=7, static_argnums=(7, 8),
     rule=_MVIT_BWD_RULE, need_replication=_MVIT_REPL, shard_c=False,
 ))
 _bwd_ph_saved_sharded = partition_aware(_bwd_saved_t, _wrap(
-    _bwd_saved_t, n_tensors=10, static_argnums=(10, 11),
-    rule=("b q c, b k c, b k c, b u c, b u c, b q rt, b q rh, b q rw, "
-          "b q kp, b q c -> b q c, b k c, b k c, b u c, b u c, b q rt, "
-          "b q rh, b q rw"),
+    _bwd_saved_t, n_tensors=8, static_argnums=(8, 9),
+    rule=("b q c, b k c, b k c, b u c, b u c, b q r, b q kp, b q c -> "
+          "b q c, b k c, b k c, b u c, b u c, b q r"),
     need_replication=_MVIT_REPL + ("kp",), shard_c=False,
 ))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def flash_attention_mvit(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def flash_attention_mvit(q, k, v, kc, vc, rel, k_shape, scale):
     """Body-query pooled attention with decomposed rel-pos bias.
 
     q [BH, qN, d]; k, v [BH, kN, d] (body keys, row-major (t', h', w'));
-    kc, vc [BH, 1, d] cls key/value; rel_t/h/w [BH, qN, k_t/k_h/k_w] fp32
-    bias tables (no bias lands on the cls key).  Returns the body-query
-    outputs [BH, qN, d]; the cls query is one row — compute it outside.
+    kc, vc [BH, 1, d] cls key/value; rel [BH, qN, k_t + k_h + k_w] is the
+    CONCATENATED [rt | rh | rw] bias table (no bias lands on the cls
+    key) -- the whole decomposed bias is ONE dot against the row-stacked
+    expander instead of three contraction-starved ones.  Returns the
+    body-query outputs [BH, qN, d]; the cls query is one row -- compute
+    it outside.
     """
-    return _fwd_ph_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
-                           scale)
+    return _fwd_ph_sharded(q, k, v, kc, vc, rel, k_shape, scale)
 
 
-def _vjp_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, scale):
+def _vjp_fwd(q, k, v, kc, vc, rel, k_shape, scale):
     if not _save_probs():
-        out = _fwd_ph_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
-                              scale)
-        return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w, None)
+        out = _fwd_ph_sharded(q, k, v, kc, vc, rel, k_shape, scale)
+        return out, (q, k, v, kc, vc, rel, None)
     from jax.ad_checkpoint import checkpoint_name
 
-    out, probs = _fwd_ph_sp_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w,
-                                    k_shape, scale)
+    out, probs = _fwd_ph_sp_sharded(q, k, v, kc, vc, rel, k_shape, scale)
     # named so remat policies keep the probs across the block boundary
     # (models/mvit.py lists "flash_attn_probs"); without it the backward
     # would rebuild the forward kernel just to regenerate them
     probs = checkpoint_name(probs, "flash_attn_probs")
-    return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w, probs)
+    return out, (q, k, v, kc, vc, rel, probs)
 
 
 def _vjp_bwd(k_shape, scale, res, g):
@@ -555,12 +523,11 @@ def _hl_geometry(kp: int, C: int, H: int, d: int):
     return None
 
 
-def _fwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
-                   rw_ref, et_ref, eh_ref, ew_ref, o_ref, *, scale: float,
-                   qn: int, kn: int, d: int, H: int, k_shape):
+def _fwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref,
+                   o_ref, *, scale: float, qn: int, kn: int, d: int, H: int,
+                   kcat: int):
     # H here is heads PER BLOCK (hg); the grid's channel axis walks groups
-    k_t, k_h, k_w = k_shape
-    et, eh, ew = et_ref[...], eh_ref[...], ew_ref[...]
+    ec = ec_ref[...]
     # splice the cls row / mask padding ONCE at full channel width: a
     # lane-offset [1, d] head slice cannot be broadcast across rows by
     # Mosaic (misaligned vpad layouts); the full-width [1, C] row can
@@ -569,25 +536,21 @@ def _fwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
         p = _probs(q_ref[0][:, sl], kf[:, sl],
-                   rt_ref[0, 0][:, h * k_t:(h + 1) * k_t],
-                   rh_ref[0, 0][:, h * k_h:(h + 1) * k_h],
-                   rw_ref[0, 0][:, h * k_w:(h + 1) * k_w],
-                   et, eh, ew, scale, kn)
+                   rc_ref[0, 0][:, h * kcat:(h + 1) * kcat],
+                   ec, scale, kn)
         v = vf[:, sl]
         o_ref[0, :, sl] = jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
 
 
-def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
-                   rw_ref, et_ref, eh_ref, ew_ref, g_ref,
-                   dq_ref, dkf_ref, dvf_ref, drt_ref, drh_ref, drw_ref,
+def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref,
+                   g_ref, dq_ref, dkf_ref, dvf_ref, drc_ref,
                    *, scale: float, qn: int, kn: int, d: int, H: int,
-                   k_shape, tq: int):
-    k_t, k_h, k_w = k_shape
+                   kcat: int, tq: int):
     qt = pl.program_id(2)
     nvalid = _valid_rows(qt, qn, tq)
-    et, eh, ew = et_ref[...], eh_ref[...], ew_ref[...]
+    ec = ec_ref[...]
 
     @pl.when(qt == 0)
     def _init():
@@ -599,16 +562,14 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
     qf = _mask_rows(q_ref[0], nvalid)
     kf = _mask_rows(_splice_cls(k_ref[0], kc_ref[0], kn), kn + 1)
     vf = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
-    etc, ehc, ewc = (e.astype(q_ref.dtype) for e in (et, eh, ew))
+    ecc = ec.astype(q_ref.dtype)
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
         q = qf[:, sl]
         k = kf[:, sl]
         v = vf[:, sl]
-        rt = _mask_rows(rt_ref[0, 0][:, h * k_t:(h + 1) * k_t], nvalid)
-        rh = _mask_rows(rh_ref[0, 0][:, h * k_h:(h + 1) * k_h], nvalid)
-        rw = _mask_rows(rw_ref[0, 0][:, h * k_w:(h + 1) * k_w], nvalid)
-        p = _probs(q, k, rt, rh, rw, et, eh, ew, scale, kn)
+        rc = _mask_rows(rc_ref[0, 0][:, h * kcat:(h + 1) * kcat], nvalid)
+        p = _probs(q, k, rc, ec, scale, kn)
         # gradient matmuls run with INPUT-dtype operands and fp32
         # accumulation (fp32-operand MXU matmuls run at a fraction of the
         # bf16 rate — the round-2 spatial-kernel policy, also applied to
@@ -627,15 +588,9 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
                             * scale).astype(dq_ref.dtype)
         dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
-        drt_ref[0, 0, :, h * k_t:(h + 1) * k_t] = jax.lax.dot_general(
-            ds_c, etc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(drt_ref.dtype)
-        drh_ref[0, 0, :, h * k_h:(h + 1) * k_h] = jax.lax.dot_general(
-            ds_c, ehc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(drh_ref.dtype)
-        drw_ref[0, 0, :, h * k_w:(h + 1) * k_w] = jax.lax.dot_general(
-            ds_c, ewc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(drw_ref.dtype)
+        drc_ref[0, 0, :, h * kcat:(h + 1) * kcat] = jax.lax.dot_general(
+            ds_c, ecc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drc_ref.dtype)
         dkf_ref[0, :, sl] += dk
         dvf_ref[0, :, sl] += dv
 
@@ -643,7 +598,7 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rt_ref, rh_ref,
 def _specs_hl(qn: int, kp: int, w: int, k_shape, tq: int):
     """Blocks for grid (B, head-groups, q-tiles); the channel axis walks
     w-wide head groups (w a 128-multiple or the full width)."""
-    k_t, k_h, k_w = k_shape
+    kcat = sum(k_shape)
     qs = pl.BlockSpec((1, tq, w), lambda b, g, t: (b, t, g),
                       memory_space=pltpu.VMEM)
     ks = pl.BlockSpec((1, kp, w), lambda b, g, t: (b, 0, g),
@@ -655,33 +610,27 @@ def _specs_hl(qn: int, kp: int, w: int, k_shape, tq: int):
         # real array axis so the lane dim stays the FULL (any-size) width
         return pl.BlockSpec((1, 1, tq, kk), lambda b, g, t: (b, g, t, 0),
                             memory_space=pltpu.VMEM)
-    et = pl.BlockSpec((k_t, kp), lambda b, g, t: (0, 0),
+    ec = pl.BlockSpec((kcat, kp), lambda b, g, t: (0, 0),
                       memory_space=pltpu.VMEM)
-    eh = pl.BlockSpec((k_h, kp), lambda b, g, t: (0, 0),
-                      memory_space=pltpu.VMEM)
-    ew = pl.BlockSpec((k_w, kp), lambda b, g, t: (0, 0),
-                      memory_space=pltpu.VMEM)
-    return qs, ks, cs, rspec, et, eh, ew
+    return qs, ks, cs, rspec, ec
 
 
-def _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale):
+def _fwd_hl(q, k, v, kc, vc, rel, k_shape, num_heads, scale):
     B, qn, C = q.shape
     d = C // num_heads
     kn = k.shape[1]
-    k_t, k_h, k_w = k_shape
+    kcat = sum(k_shape)
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
+    e_cat = expander_cat_jnp(k_shape, kp)
     hg, w, tq = _hl_geometry(kp, C, num_heads, d)
     hgn = num_heads // hg
     greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
-    qs, ks, cs, rspec, et, eh, ew = _specs_hl(qn, kp, w, k_shape, tq)
+    qs, ks, cs, rspec, ec = _specs_hl(qn, kp, w, k_shape, tq)
     return pl.pallas_call(
         functools.partial(_fwd_hl_kernel, scale=scale, qn=qn, kn=kn, d=d,
-                          H=hg, k_shape=k_shape),
+                          H=hg, kcat=kcat),
         grid=(B, hgn, (qn + tq - 1) // tq),
-        in_specs=[qs, ks, ks, cs, cs,
-                  rspec(hg * k_t), rspec(hg * k_h),
-                  rspec(hg * k_w), et, eh, ew],
+        in_specs=[qs, ks, ks, cs, cs, rspec(hg * kcat), ec],
         out_specs=qs,
         out_shape=jax.ShapeDtypeStruct((B, qn, C), q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -690,41 +639,33 @@ def _fwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale):
             transcendentals=B * num_heads * qn * kp,
         ),
         interpret=_interpret(),
-    )(q, k, v, kc, vc, greg(rel_t, k_t), greg(rel_h, k_h), greg(rel_w, k_w),
-      e_t, e_h, e_w)
+    )(q, k, v, kc, vc, greg(rel, kcat), e_cat)
 
 
-def _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale,
-            g):
+def _bwd_hl(q, k, v, kc, vc, rel, k_shape, num_heads, scale, g):
     B, qn, C = q.shape
     d = C // num_heads
     kn = k.shape[1]
-    k_t, k_h, k_w = k_shape
+    kcat = sum(k_shape)
     kp = _round_up(kn + 1, 128)
-    e_t, e_h, e_w = expanders_jnp(k_shape, kp)
+    e_cat = expander_cat_jnp(k_shape, kp)
     hg, w, tq = _hl_geometry(kp, C, num_heads, d)
     hgn = num_heads // hg
     greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
-    qs, ks, cs, rspec, et, eh, ew = _specs_hl(qn, kp, w, k_shape, tq)
+    qs, ks, cs, rspec, ec = _specs_hl(qn, kp, w, k_shape, tq)
     kacc = pl.BlockSpec((1, kp, w), lambda b, g, t: (b, 0, g),
                         memory_space=pltpu.VMEM)
-    dq, dkf, dvf, drt, drh, drw = pl.pallas_call(
+    dq, dkf, dvf, drc = pl.pallas_call(
         functools.partial(_bwd_hl_kernel, scale=scale, qn=qn, kn=kn, d=d,
-                          H=hg, k_shape=k_shape, tq=tq),
+                          H=hg, kcat=kcat, tq=tq),
         grid=(B, hgn, (qn + tq - 1) // tq),
-        in_specs=[qs, ks, ks, cs, cs,
-                  rspec(hg * k_t), rspec(hg * k_h),
-                  rspec(hg * k_w), et, eh, ew, qs],
-        out_specs=[qs, kacc, kacc,
-                   rspec(hg * k_t), rspec(hg * k_h),
-                   rspec(hg * k_w)],
+        in_specs=[qs, ks, ks, cs, cs, rspec(hg * kcat), ec, qs],
+        out_specs=[qs, kacc, kacc, rspec(hg * kcat)],
         out_shape=[
             jax.ShapeDtypeStruct((B, qn, C), q.dtype),
             jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
             jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_t), jnp.float32),
-            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_h), jnp.float32),
-            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_w), jnp.float32),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg * kcat), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * B * num_heads * qn * kp * d,
@@ -732,17 +673,14 @@ def _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads, scale,
             transcendentals=B * num_heads * qn * kp,
         ),
         interpret=_interpret(),
-    )(q, k, v, kc, vc, greg(rel_t, k_t), greg(rel_h, k_h), greg(rel_w, k_w),
-      e_t, e_h, e_w, g)
+    )(q, k, v, kc, vc, greg(rel, kcat), e_cat, g)
     dk = dkf[:, :kn].astype(k.dtype)
     dv = dvf[:, :kn].astype(v.dtype)
     dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
     dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
-    ungr = lambda r, kk: r.transpose(0, 2, 1, 3).reshape(
-        B, qn, num_heads * kk)
-    return (dq, dk, dv, dkc, dvc, ungr(drt, k_t).astype(rel_t.dtype),
-            ungr(drh, k_h).astype(rel_h.dtype),
-            ungr(drw, k_w).astype(rel_w.dtype))
+    drel = drc.transpose(0, 2, 1, 3).reshape(
+        B, qn, num_heads * kcat).astype(rel.dtype)
+    return dq, dk, dv, dkc, dvc, drel
 
 
 # ---------------------------------------------------------------------------
@@ -814,10 +752,11 @@ def _kt_round(kn: int, kc: int) -> int:
     return _round_up(kn + 1, kc)
 
 
-def _kt_expanders(k_shape, kp: int):
-    """Transposed 0/1 expanders [KP, k_*]: the chunk loop slices SUBLANES
-    (dynamic sublane offsets are cheap; dynamic lane offsets are not)."""
-    return tuple(e.T.copy() for e in expanders(k_shape, kp))
+def _kt_expander_cat(k_shape, kp: int):
+    """Transposed stacked 0/1 expander [KP, k_t + k_h + k_w]: the chunk
+    loop slices SUBLANES (dynamic sublane offsets are cheap; dynamic lane
+    offsets are not), and one dot computes the whole decomposed bias."""
+    return np.concatenate(expanders(k_shape, kp), axis=0).T.copy()
 
 
 def _kt_splice(k, kc, kp: int):
@@ -831,19 +770,15 @@ def _kt_splice(k, kc, kp: int):
     return jnp.concatenate([k, kc.astype(k.dtype), pad], axis=1)
 
 
-def _fwd_hl_kt_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref,
-                      rw_ref, et_ref, eh_ref, ew_ref, o_ref, lse_ref,
+def _fwd_hl_kt_kernel(q_ref, k_ref, v_ref, rc_ref, ec_ref, o_ref, lse_ref,
                       *, scale: float, qn: int, kn: int,
-                      d: int, H: int, k_shape, kc: int, nchunks: int):
-    k_t, k_h, k_w = k_shape
+                      d: int, H: int, kcat: int, kc: int, nchunks: int):
     tq = q_ref.shape[1]
     lses = []
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
         q = q_ref[0][:, sl]
-        rt = rt_ref[0, 0][:, h * k_t:(h + 1) * k_t]
-        rh = rh_ref[0, 0][:, h * k_h:(h + 1) * k_h]
-        rw = rw_ref[0, 0][:, h * k_w:(h + 1) * k_w]
+        rc = rc_ref[0, 0][:, h * kcat:(h + 1) * kcat]
 
         def body(c, carry):
             m, l, acc = carry
@@ -851,18 +786,12 @@ def _fwd_hl_kt_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref,
             rows = pl.dslice(c0, kc)
             kcnk = k_ref[0, rows, sl]
             vcnk = v_ref[0, rows, sl]
-            et = et_ref[rows, :]
-            eh = eh_ref[rows, :]
-            ew = ew_ref[rows, :]
+            ecnk = ec_ref[rows, :]
             s = jax.lax.dot_general(
                 q, kcnk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
-            s += jax.lax.dot_general(rt, et, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            s += jax.lax.dot_general(rh, eh, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            s += jax.lax.dot_general(rw, ew, (((1,), (1,)), ((), ())),
+            s += jax.lax.dot_general(rc, ecnk, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c0
             s = jnp.where(col <= kn, s, -1e30)
@@ -883,13 +812,11 @@ def _fwd_hl_kt_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref,
     lse_ref[0, 0] = jnp.concatenate(lses, axis=1)
 
 
-def _bwd_hl_kt_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref,
-                      rw_ref, et_ref, eh_ref, ew_ref, o_ref, lse_ref, g_ref,
-                      dq_ref, dkf_ref, dvf_ref, drt_ref, drh_ref, drw_ref,
+def _bwd_hl_kt_kernel(q_ref, k_ref, v_ref, rc_ref, ec_ref, o_ref, lse_ref,
+                      g_ref, dq_ref, dkf_ref, dvf_ref, drc_ref,
                       *, scale: float, qn: int, kn: int,
-                      d: int, H: int, k_shape, tq: int, kc: int,
+                      d: int, H: int, kcat: int, tq: int, kc: int,
                       nchunks: int):
-    k_t, k_h, k_w = k_shape
     qt = pl.program_id(2)
     nvalid = _valid_rows(qt, qn, tq)
 
@@ -915,28 +842,20 @@ def _bwd_hl_kt_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref,
                         keepdims=True)
         delta = jnp.sum(g * of[:, sl].astype(jnp.float32), axis=1,
                         keepdims=True)
-        rt = _mask_rows(rt_ref[0, 0][:, h * k_t:(h + 1) * k_t], nvalid)
-        rh = _mask_rows(rh_ref[0, 0][:, h * k_h:(h + 1) * k_h], nvalid)
-        rw = _mask_rows(rw_ref[0, 0][:, h * k_w:(h + 1) * k_w], nvalid)
+        rc = _mask_rows(rc_ref[0, 0][:, h * kcat:(h + 1) * kcat], nvalid)
 
         def body(c, carry):
-            dq, drt, drh, drw = carry
+            dq, drc_acc = carry
             c0 = c * kc
             rows = pl.dslice(c0, kc)
             kcnk = k_ref[0, rows, sl]
             vcnk = v_ref[0, rows, sl]
-            et = et_ref[rows, :]
-            eh = eh_ref[rows, :]
-            ew = ew_ref[rows, :]
+            ecnk = ec_ref[rows, :]
             s = jax.lax.dot_general(
                 q, kcnk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
-            s += jax.lax.dot_general(rt, et, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            s += jax.lax.dot_general(rh, eh, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            s += jax.lax.dot_general(rw, ew, (((1,), (1,)), ((), ())),
+            s += jax.lax.dot_general(rc, ecnk, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c0
             s = jnp.where(col <= kn, s, -1e30)
@@ -957,21 +876,15 @@ def _bwd_hl_kt_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref,
                                      preferred_element_type=jnp.float32)
             dkf_ref[0, rows, sl] += dk * scale
             dvf_ref[0, rows, sl] += dv
-            drt += jax.lax.dot_general(ds, et, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            drh += jax.lax.dot_general(ds, eh, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            drw += jax.lax.dot_general(ds, ew, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            return dq, drt, drh, drw
+            drc_acc += jax.lax.dot_general(ds, ecnk, (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+            return dq, drc_acc
 
         z = lambda n: jnp.zeros((tq, n), jnp.float32)
-        dq, drt, drh, drw = jax.lax.fori_loop(
-            0, nchunks, body, (z(d), z(k_t), z(k_h), z(k_w)))
+        dq, drc_acc = jax.lax.fori_loop(0, nchunks, body, (z(d), z(kcat)))
         dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
-        drt_ref[0, 0, :, h * k_t:(h + 1) * k_t] = drt.astype(drt_ref.dtype)
-        drh_ref[0, 0, :, h * k_h:(h + 1) * k_h] = drh.astype(drh_ref.dtype)
-        drw_ref[0, 0, :, h * k_w:(h + 1) * k_w] = drw.astype(drw_ref.dtype)
+        drc_ref[0, 0, :, h * kcat:(h + 1) * kcat] = (
+            drc_acc.astype(drc_ref.dtype))
 
 
 def _lse_spec(tq: int, hg: int):
@@ -984,12 +897,11 @@ def _kt_espec(kp: int, kk: int):
                         memory_space=pltpu.VMEM)
 
 
-def _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
-               scale):
+def _fwd_hl_kt(q, k, v, kc, vc, rel, k_shape, num_heads, scale):
     B, qn, C = q.shape
     d = C // num_heads
     kn = k.shape[1]
-    k_t, k_h, k_w = k_shape
+    kcat = sum(k_shape)
     geo = _hl_kt_geometry(C, num_heads, d)
     assert geo is not None, (
         f"flash_attention_mvit_hl_kt: no calibrated geometry for C={C}, "
@@ -998,18 +910,15 @@ def _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
     kp = _kt_round(kn, kcw)
     ksp = _kt_splice(k, kc, kp)
     vsp = _kt_splice(v, vc, kp)
-    e_t, e_h, e_w = (jnp.asarray(e) for e in _kt_expanders(k_shape, kp))
+    e_cat = jnp.asarray(_kt_expander_cat(k_shape, kp))
     hgn = num_heads // hg
     greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
-    qs, ks, cs, rspec, _, _, _ = _specs_hl(qn, kp, w, k_shape, tq)
+    qs, ks, cs, rspec, _ = _specs_hl(qn, kp, w, k_shape, tq)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_hl_kt_kernel, scale=scale, qn=qn, kn=kn, d=d,
-                          H=hg, k_shape=k_shape, kc=kcw, nchunks=kp // kcw),
+                          H=hg, kcat=kcat, kc=kcw, nchunks=kp // kcw),
         grid=(B, hgn, (qn + tq - 1) // tq),
-        in_specs=[qs, ks, ks,
-                  rspec(hg * k_t), rspec(hg * k_h),
-                  rspec(hg * k_w), _kt_espec(kp, k_t), _kt_espec(kp, k_h),
-                  _kt_espec(kp, k_w)],
+        in_specs=[qs, ks, ks, rspec(hg * kcat), _kt_espec(kp, kcat)],
         out_specs=[qs, _lse_spec(tq, hg)],
         out_shape=[
             jax.ShapeDtypeStruct((B, qn, C), q.dtype),
@@ -1021,46 +930,38 @@ def _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
             transcendentals=B * num_heads * qn * kp,
         ),
         interpret=_interpret(),
-    )(q, ksp, vsp, greg(rel_t, k_t), greg(rel_h, k_h), greg(rel_w, k_w),
-      e_t, e_h, e_w)
+    )(q, ksp, vsp, greg(rel, kcat), e_cat)
     return out, lse
 
 
-def _bwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, out, lse, k_shape,
-               num_heads, scale, g):
+def _bwd_hl_kt(q, k, v, kc, vc, rel, out, lse, k_shape, num_heads, scale, g):
     B, qn, C = q.shape
     d = C // num_heads
     kn = k.shape[1]
-    k_t, k_h, k_w = k_shape
+    kcat = sum(k_shape)
     hg, w, _, (tq, kcw) = _hl_kt_geometry(C, num_heads, d)
     kp = _kt_round(kn, kcw)
     ksp = _kt_splice(k, kc, kp)
     vsp = _kt_splice(v, vc, kp)
-    e_t, e_h, e_w = (jnp.asarray(e) for e in _kt_expanders(k_shape, kp))
+    e_cat = jnp.asarray(_kt_expander_cat(k_shape, kp))
     hgn = num_heads // hg
     greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
-    qs, ks, cs, rspec, _, _, _ = _specs_hl(qn, kp, w, k_shape, tq)
+    qs, ks, cs, rspec, _ = _specs_hl(qn, kp, w, k_shape, tq)
     kacc = pl.BlockSpec((1, kp, w), lambda b, g, t: (b, 0, g),
                         memory_space=pltpu.VMEM)
-    dq, dkf, dvf, drt, drh, drw = pl.pallas_call(
+    dq, dkf, dvf, drc = pl.pallas_call(
         functools.partial(_bwd_hl_kt_kernel, scale=scale, qn=qn, kn=kn, d=d,
-                          H=hg, k_shape=k_shape, tq=tq, kc=kcw,
+                          H=hg, kcat=kcat, tq=tq, kc=kcw,
                           nchunks=kp // kcw),
         grid=(B, hgn, (qn + tq - 1) // tq),
-        in_specs=[qs, ks, ks,
-                  rspec(hg * k_t), rspec(hg * k_h),
-                  rspec(hg * k_w), _kt_espec(kp, k_t), _kt_espec(kp, k_h),
-                  _kt_espec(kp, k_w), qs, _lse_spec(tq, hg), qs],
-        out_specs=[qs, kacc, kacc,
-                   rspec(hg * k_t), rspec(hg * k_h),
-                   rspec(hg * k_w)],
+        in_specs=[qs, ks, ks, rspec(hg * kcat), _kt_espec(kp, kcat),
+                  qs, _lse_spec(tq, hg), qs],
+        out_specs=[qs, kacc, kacc, rspec(hg * kcat)],
         out_shape=[
             jax.ShapeDtypeStruct((B, qn, C), q.dtype),
             jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
             jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_t), jnp.float32),
-            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_h), jnp.float32),
-            jax.ShapeDtypeStruct((B, hgn, qn, hg * k_w), jnp.float32),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg * kcat), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * B * num_heads * qn * kp * d,
@@ -1068,43 +969,37 @@ def _bwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, out, lse, k_shape,
             transcendentals=B * num_heads * qn * kp,
         ),
         interpret=_interpret(),
-    )(q, ksp, vsp, greg(rel_t, k_t), greg(rel_h, k_h), greg(rel_w, k_w),
-      e_t, e_h, e_w, out, lse, g)
+    )(q, ksp, vsp, greg(rel, kcat), e_cat, out, lse, g)
     dk = dkf[:, :kn].astype(k.dtype)
     dv = dvf[:, :kn].astype(v.dtype)
     dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
     dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
-    ungr = lambda r, kk: r.transpose(0, 2, 1, 3).reshape(
-        B, qn, num_heads * kk)
-    return (dq, dk, dv, dkc, dvc, ungr(drt, k_t).astype(rel_t.dtype),
-            ungr(drh, k_h).astype(rel_h.dtype),
-            ungr(drw, k_w).astype(rel_w.dtype))
+    drel = drc.transpose(0, 2, 1, 3).reshape(
+        B, qn, num_heads * kcat).astype(rel.dtype)
+    return dq, dk, dv, dkc, dvc, drel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def flash_attention_mvit_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
-                               num_heads, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def flash_attention_mvit_hl_kt(q, k, v, kc, vc, rel, k_shape, num_heads,
+                               scale):
     """K-tiled head-last pooled attention (wide key sets): same contract as
     :func:`flash_attention_mvit_hl` for the geometries ``kt_supported``
     accepts (single head-group, w <= 384 — the reference H=8 wide-key
     blocks are NOT supported and must use :func:`flash_attention_mvit`;
     the model dispatch in models/mvit.py gates on ``kt_supported``)."""
-    out, _ = _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
-                        num_heads, scale)
+    out, _ = _fwd_hl_kt(q, k, v, kc, vc, rel, k_shape, num_heads, scale)
     return out
 
 
-def _vjp_hl_kt_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
-                   scale):
+def _vjp_hl_kt_fwd(q, k, v, kc, vc, rel, k_shape, num_heads, scale):
     from jax.ad_checkpoint import checkpoint_name
 
-    out, lse = _fwd_hl_kt(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
-                          num_heads, scale)
+    out, lse = _fwd_hl_kt(q, k, v, kc, vc, rel, k_shape, num_heads, scale)
     # named so remat policies can keep it: without the saved lse the
     # backward would rebuild the forward kernel just to regenerate it
     # (models/mvit.py lists "flash_attn_lse" alongside "flash_attn_out")
     lse = checkpoint_name(lse, "flash_attn_lse")
-    return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w, out, lse)
+    return out, (q, k, v, kc, vc, rel, out, lse)
 
 
 def _vjp_hl_kt_bwd(k_shape, num_heads, scale, res, g):
@@ -1122,43 +1017,39 @@ flash_attention_mvit_hl_kt.defvjp(_vjp_hl_kt_fwd, _vjp_hl_kt_bwd)
 # them).  Batch (dim 0 — B for head-last, B*H for the per-head kernel)
 # shards over `data`; everything else is replicated (MViT TP is not a
 # supported layout — the rel-pos tables would need head-group resharding).
-def _bwd_hl_t(q, k, v, kc, vc, rel_t, rel_h, rel_w, g, k_shape, num_heads,
-              scale):
+def _bwd_hl_t(q, k, v, kc, vc, rel, g, k_shape, num_heads, scale):
     # tensor args first (g included) so the generic wrapper can append the
     # statics at the end
-    return _bwd_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
-                   scale, g)
+    return _bwd_hl(q, k, v, kc, vc, rel, k_shape, num_heads, scale, g)
 
 
 _fwd_hl_sharded = partition_aware(_fwd_hl, _wrap(
-    _fwd_hl, n_tensors=8, static_argnums=(8, 9, 10),
+    _fwd_hl, n_tensors=6, static_argnums=(6, 7, 8),
     rule=_MVIT_FWD_RULE, need_replication=_MVIT_REPL, shard_c=False,
 ))
 _bwd_hl_sharded = partition_aware(_bwd_hl_t, _wrap(
-    _bwd_hl_t, n_tensors=9, static_argnums=(9, 10, 11),
+    _bwd_hl_t, n_tensors=7, static_argnums=(7, 8, 9),
     rule=_MVIT_BWD_RULE, need_replication=_MVIT_REPL, shard_c=False,
 ))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def flash_attention_mvit_hl(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
-                            num_heads, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def flash_attention_mvit_hl(q, k, v, kc, vc, rel, k_shape, num_heads, scale):
     """Head-last pooled attention with decomposed rel-pos bias.
 
     q [B, qN, H*d]; k, v [B, kN, H*d] (body keys, row-major (t', h', w'));
-    kc, vc [B, 1, H*d] cls key/value; rel_t/h/w [B, qN, H*k_*] fp32 bias
-    tables packed per head along lanes.  Returns body-query outputs
-    [B, qN, H*d]; the cls query row is computed outside in plain XLA.
+    kc, vc [B, 1, H*d] cls key/value; rel [B, qN, H*(k_t + k_h + k_w)]
+    bias tables packed per head along lanes, each head's window laid out
+    [rt | rh | rw] — the whole decomposed bias is ONE dot per head against
+    the row-stacked expander.  Returns body-query outputs [B, qN, H*d];
+    the cls query row is computed outside in plain XLA.
     """
-    return _fwd_hl_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
-                           num_heads, scale)
+    return _fwd_hl_sharded(q, k, v, kc, vc, rel, k_shape, num_heads, scale)
 
 
-def _vjp_hl_fwd(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape, num_heads,
-                scale):
-    out = _fwd_hl_sharded(q, k, v, kc, vc, rel_t, rel_h, rel_w, k_shape,
-                          num_heads, scale)
-    return out, (q, k, v, kc, vc, rel_t, rel_h, rel_w)
+def _vjp_hl_fwd(q, k, v, kc, vc, rel, k_shape, num_heads, scale):
+    out = _fwd_hl_sharded(q, k, v, kc, vc, rel, k_shape, num_heads, scale)
+    return out, (q, k, v, kc, vc, rel)
 
 
 def _vjp_hl_bwd(k_shape, num_heads, scale, res, g):

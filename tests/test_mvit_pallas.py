@@ -78,17 +78,17 @@ def test_mvit_saveprobs_matches_recompute_backward(monkeypatch):
     mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.3, jnp.float32)
     q, k, v = mk(BH, qn, d), mk(BH, kn, d), mk(BH, kn, d)
     kc, vc = mk(BH, 1, d), mk(BH, 1, d)
-    rt, rh, rw = (mk(BH, qn, kk) for kk in k_shape)
-    args = (q, k, v, kc, vc, rt, rh, rw)
+    rel = mk(BH, qn, sum(k_shape))  # concatenated [rt | rh | rw]
+    args = (q, k, v, kc, vc, rel)
     scale = d ** -0.5
 
     def loss(*a):
         return jnp.sum(jnp.sin(flash_attention_mvit(*a, k_shape, scale)))
 
     monkeypatch.setenv("MVIT_SAVE_PROBS", "0")
-    g_ref = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    g_ref = jax.grad(loss, argnums=tuple(range(6)))(*args)
     monkeypatch.setenv("MVIT_SAVE_PROBS", "1")
-    g_new = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    g_new = jax.grad(loss, argnums=tuple(range(6)))(*args)
     for i, (a, b) in enumerate(zip(g_new, g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-5,
@@ -109,7 +109,7 @@ def test_mvit_hl_kernel_matches_per_head_kernel():
     mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
     q, k, v = mk(B, H, qn, d), mk(B, H, kn, d), mk(B, H, kn, d)
     kc, vc = mk(B, H, 1, d), mk(B, H, 1, d)
-    rt, rh, rw = (mk(B, H, qn, kk) for kk in k_shape)
+    rel = mk(B, H, qn, sum(k_shape))  # concatenated [rt | rh | rw]
     scale = d ** -0.5
 
     fold = lambda x: jnp.asarray(x.reshape(B * H, x.shape[2], x.shape[3]))
@@ -123,7 +123,7 @@ def test_mvit_hl_kernel_matches_per_head_kernel():
         return jnp.sum(jnp.sin(
             flash_attention_mvit_hl(*args, k_shape, H, scale)))
 
-    tensors = (q, k, v, kc, vc, rt, rh, rw)
+    tensors = (q, k, v, kc, vc, rel)
     out_ref = flash_attention_mvit(*[fold(t) for t in tensors], k_shape,
                                    scale).reshape(B, H, qn, d)
     out_hl = np.asarray(flash_attention_mvit_hl(
@@ -132,9 +132,9 @@ def test_mvit_hl_kernel_matches_per_head_kernel():
     np.testing.assert_allclose(out_hl, np.asarray(out_ref),
                                atol=2e-5, rtol=2e-5)
 
-    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(
         *[fold(t) for t in tensors])
-    g_hl = jax.grad(loss_hl, argnums=tuple(range(8)))(
+    g_hl = jax.grad(loss_hl, argnums=tuple(range(6)))(
         *[hl(t) for t in tensors])
     for i, (a, b) in enumerate(zip(g_hl, g_ref)):
         bb = np.asarray(b).reshape(B, H, b.shape[1], b.shape[2]).transpose(
@@ -162,12 +162,12 @@ def test_mvit_hl_kernel_head_groups():
     mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
     q, k, v = mk(B, H, qn, d), mk(B, H, kn, d), mk(B, H, kn, d)
     kc, vc = mk(B, H, 1, d), mk(B, H, 1, d)
-    rt, rh, rw = (mk(B, H, qn, kk) for kk in k_shape)
+    rel = mk(B, H, qn, sum(k_shape))  # concatenated [rt | rh | rw]
     scale = d ** -0.5
     fold = lambda x: jnp.asarray(x.reshape(B * H, x.shape[2], x.shape[3]))
     hl = lambda x: jnp.asarray(
         np.transpose(x, (0, 2, 1, 3)).reshape(B, x.shape[2], H * x.shape[3]))
-    tensors = (q, k, v, kc, vc, rt, rh, rw)
+    tensors = (q, k, v, kc, vc, rel)
     ref = flash_attention_mvit(*[fold(t) for t in tensors], k_shape,
                                scale).reshape(B, H, qn, d)
     out = np.asarray(flash_attention_mvit_hl(
@@ -196,12 +196,12 @@ def test_mvit_hl_kt_kernel_matches_per_head_kernel():
     mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
     q, k, v = mk(B, H, qn, d), mk(B, H, kn, d), mk(B, H, kn, d)
     kc, vc = mk(B, H, 1, d), mk(B, H, 1, d)
-    rt, rh, rw = (mk(B, H, qn, kk) for kk in k_shape)
+    rel = mk(B, H, qn, sum(k_shape))  # concatenated [rt | rh | rw]
     scale = d ** -0.5
     fold = lambda x: jnp.asarray(x.reshape(B * H, x.shape[2], x.shape[3]))
     hl = lambda x: jnp.asarray(
         np.transpose(x, (0, 2, 1, 3)).reshape(B, x.shape[2], H * x.shape[3]))
-    tensors = (q, k, v, kc, vc, rt, rh, rw)
+    tensors = (q, k, v, kc, vc, rel)
 
     ref = flash_attention_mvit(*[fold(t) for t in tensors], k_shape,
                                scale).reshape(B, H, qn, d)
@@ -217,9 +217,9 @@ def test_mvit_hl_kt_kernel_matches_per_head_kernel():
         return jnp.sum(jnp.sin(
             flash_attention_mvit_hl_kt(*args, k_shape, H, scale)))
 
-    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(
         *[fold(t) for t in tensors])
-    g_kt = jax.grad(loss_kt, argnums=tuple(range(8)))(
+    g_kt = jax.grad(loss_kt, argnums=tuple(range(6)))(
         *[hl(t) for t in tensors])
     for i, (a, b) in enumerate(zip(g_kt, g_ref)):
         bb = np.asarray(b).reshape(B, H, b.shape[1], b.shape[2]).transpose(
@@ -296,21 +296,21 @@ def test_mvit_hl_kernel_bf16_close():
         B, x.shape[2], H * x.shape[3])
     tensors = [hl(mk(B, H, n_, w_)) for n_, w_ in
                [(qn, d), (kn, d), (kn, d), (1, d), (1, d)]]
-    # rel tables stay fp32 in the model contract (models/mvit.py pack)
-    rels = [hl(mk(B, H, qn, kk)) for kk in k_shape]
+    # rel travels in the compute dtype since the fused-bias change
+    # (models/mvit.py pack casts rel_cat to q.dtype)
+    rel = hl(mk(B, H, qn, sum(k_shape)))
     scale = d ** -0.5
 
     def loss(dt, *a):
-        args = [jnp.asarray(t, dt) for t in a[:5]] + [
-            jnp.asarray(r, jnp.float32) for r in a[5:]]
+        args = [jnp.asarray(t, dt) for t in a]
         return jnp.sum(jnp.sin(flash_attention_mvit_hl(
             *args, k_shape, H, scale).astype(jnp.float32)))
 
-    args = tuple(tensors) + tuple(rels)
+    args = tuple(tensors) + (rel,)
     g32 = jax.grad(lambda *a: loss(jnp.float32, *a),
-                   argnums=tuple(range(8)))(*args)
+                   argnums=tuple(range(6)))(*args)
     g16 = jax.grad(lambda *a: loss(jnp.bfloat16, *a),
-                   argnums=tuple(range(8)))(*args)
+                   argnums=tuple(range(6)))(*args)
     for i, (a, b) in enumerate(zip(g16, g32)):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),

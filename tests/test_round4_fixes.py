@@ -122,10 +122,10 @@ def test_mvit_kernels_shard_over_batch():
     qn, kn = int(np.prod(q_shape)), int(np.prod(k_shape))
     scale = d ** -0.5
     mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.3, jnp.float32)
-    # head-last operands [B, L, H*d]
+    # head-last operands [B, L, H*d]; rel is the concatenated [rt|rh|rw]
     hl_args = (mk(B, qn, H * d), mk(B, kn, H * d), mk(B, kn, H * d),
                mk(B, 1, H * d), mk(B, 1, H * d),
-               *(mk(B, qn, H * kk) for kk in k_shape))
+               mk(B, qn, H * sum(k_shape)))
 
     def loss_hl(*a):
         return jnp.sum(jnp.sin(
@@ -144,7 +144,7 @@ def test_mvit_kernels_shard_over_batch():
     # per-head operands [B*H, L, d] (both saved-probs and recompute bwd)
     ph_args = (mk(B * H, qn, d), mk(B * H, kn, d), mk(B * H, kn, d),
                mk(B * H, 1, d), mk(B * H, 1, d),
-               *(mk(B * H, qn, kk) for kk in k_shape))
+               mk(B * H, qn, sum(k_shape)))
 
     def loss_ph(*a):
         return jnp.sum(jnp.sin(flash_attention_mvit(*a, k_shape, scale)))

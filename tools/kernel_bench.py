@@ -174,18 +174,17 @@ def _mvit_operands(B, H, d, q_shape, k_shape, layout):
     rng = np.random.RandomState(0)
     mk = lambda *s: (rng.randn(*s) * 0.3).astype(np.float32)
     tensors = [mk(B, H, qn, d), mk(B, H, kn, d), mk(B, H, kn, d),
-               mk(B, H, 1, d), mk(B, H, 1, d)]
-    tensors += [mk(B, H, qn, kk) for kk in k_shape]
+               mk(B, H, 1, d), mk(B, H, 1, d),
+               mk(B, H, qn, sum(k_shape))]  # concatenated [rt|rh|rw] table
     if layout == "fold":
         conv = lambda x: jnp.asarray(
             x.reshape(B * H, x.shape[2], x.shape[3]))
     else:  # head-last
         conv = lambda x: jnp.asarray(np.transpose(x, (0, 2, 1, 3)).reshape(
             B, x.shape[2], H * x.shape[3]))
-    out = [conv(t).astype(jnp.bfloat16) for t in tensors]
-    for i in (5, 6, 7):  # rel tables stay fp32 in the model contract
-        out[i] = out[i].astype(jnp.float32)
-    return out
+    # all operands in the compute dtype, matching the model contract
+    # (models/mvit.py passes rel_cat in q.dtype since the fused-bias change)
+    return [conv(t).astype(jnp.bfloat16) for t in tensors]
 
 
 def bench_mvit(kind: str):
