@@ -170,10 +170,19 @@ def load_checkpoint(path: str, state):
     Returns (state, epoch)."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    params = serialization.from_bytes(jax.device_get(state.params),
-                                      payload["model_state"])
-    opt_state = serialization.from_bytes(jax.device_get(state.opt_state),
-                                         payload["optimizer_state"])
+    try:
+        params = serialization.from_bytes(jax.device_get(state.params),
+                                          payload["model_state"])
+        opt_state = serialization.from_bytes(jax.device_get(state.opt_state),
+                                             payload["optimizer_state"])
+    except ValueError as e:
+        # flax's key-mismatch error names neither the file nor the likely
+        # cause; an incompatible AUTO_RESUME checkpoint (e.g. a stale
+        # OUTPUT_DIR from a different model config) is the common one
+        raise ValueError(
+            f"checkpoint {path!r} does not match the current model/optimizer "
+            f"structure (wrong MODEL config or stale OUTPUT_DIR?): {e}"
+        ) from e
     import jax.numpy as jnp
 
     state = state.replace(

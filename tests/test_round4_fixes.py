@@ -157,3 +157,34 @@ def test_mvit_kernels_shard_over_batch():
     np.testing.assert_allclose(np.asarray(base_p[1][0]),
                                np.asarray(out_p[1][0]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_checkpoint_mismatch_error_names_file(tmp_path):
+    """An incompatible checkpoint restore (wrong model config or a stale
+    OUTPUT_DIR picked up by AUTO_RESUME) raises an error naming the
+    checkpoint path and the likely cause, not flax's bare key-mismatch."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import pytest
+    from flax import serialization
+
+    from procedurevrl_tpu.engine.steps import TrainState
+    from procedurevrl_tpu.utils import checkpoint as ckpt
+
+    tx = optax.sgd(0.1)
+    target = TrainState.create({"a": jnp.zeros((2,)), "b": jnp.ones((3,))},
+                               tx)
+    other = TrainState.create({"a": jnp.zeros((2,))}, tx)
+    f = tmp_path / "checkpoint_epoch_00001.pyth"
+    payload = {
+        "model_state": serialization.to_bytes(jax.device_get(other.params)),
+        "optimizer_state": serialization.to_bytes(
+            jax.device_get(other.opt_state)),
+        "epoch": 1,
+    }
+    pickle.dump(payload, open(f, "wb"))
+    with pytest.raises(ValueError, match="does not match the current model"):
+        ckpt.load_checkpoint(str(f), target)
