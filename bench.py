@@ -227,9 +227,33 @@ def main():
     }))
 
 
+# Safety net: several default-ON kernel paths are CPU-interpret-verified
+# but may first meet real-TPU Mosaic lowering at the driver's round-end
+# bench run. A crash there means NO metric for the whole round — so on
+# failure re-exec once per fallback tier with progressively conservative
+# knobs (tier 2 = XLA attention everywhere) and report which tier ran.
+_FALLBACK_TIERS = [
+    {},  # tier 0: defaults
+    {"SPATIAL_FUSED_QKV": "0", "MVIT_SAVE_PROBS": "0", "SPATIAL_PIPE": "0",
+     "TEMPORAL_BATCHED": "0"},
+    {"BENCH_PALLAS": "0"},
+]
+
+
 if __name__ == "__main__":
     import os
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    main()
+    tier = int(os.environ.get("BENCH_FALLBACK_TIER", "0"))
+    try:
+        main()
+    except Exception as e:
+        if tier + 1 >= len(_FALLBACK_TIERS):
+            raise
+        print(f"# bench tier {tier} failed ({e!r}); retrying with "
+              f"conservative knobs {_FALLBACK_TIERS[tier + 1]}",
+              file=sys.stderr, flush=True)
+        env = dict(os.environ, BENCH_FALLBACK_TIER=str(tier + 1),
+                   **_FALLBACK_TIERS[tier + 1])
+        os.execve(sys.executable, [sys.executable, __file__], env)
