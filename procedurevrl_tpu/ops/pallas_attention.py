@@ -945,7 +945,24 @@ def flash_attention_cls_qkv(qkv, qkv_c, num_heads, scale):
     return _flash_cls_qkv_fwd_sharded(qkv, qkv_c, num_heads, scale)
 
 
+_warned_pipe_vs_saveprobs = False
+
+
 def _facq_fwd(qkv, qkv_c, num_heads, scale):
+    global _warned_pipe_vs_saveprobs
+    if (_save_spatial_probs() and _spatial_pipe()
+            and not _warned_pipe_vs_saveprobs):
+        # the pipelined forward has no saved-probs variant: under grad the
+        # saved-probs grid kernel wins and SPATIAL_PIPE only affects
+        # no-grad forwards — warn so a knob sweep cannot silently
+        # misattribute which kernel was measured
+        import warnings
+
+        warnings.warn("SPATIAL_SAVE_PROBS=1 takes precedence over "
+                      "SPATIAL_PIPE=1 on differentiated forwards; the "
+                      "pipelined kernel is NOT being measured on the "
+                      "grad path")
+        _warned_pipe_vs_saveprobs = True
     if _save_spatial_probs() and jax.device_count() == 1:
         # single-chip bench experiment: probs travel as a named residual
         # (the same "flash_attn_out" bucket the remat policy keeps)

@@ -384,3 +384,26 @@ def test_flash_cls_qkv_pipelined_matches_grid_kernel(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-5, rtol=5e-5,
                                    err_msg=f"grad arg {i}")
+
+
+def test_flash_cls_qkv_pipelined_production_geometry(monkeypatch):
+    """Pipelined forward at the PRODUCTION head-group/buffer geometry:
+    H=12 -> G=6 head windows (exercises the clsout double-buffer g-2
+    waits, the range(G-2, G) drain) and b=36/gb=12 -> NBUF=3 slot
+    rotation — the branches the small G=2/nbuf=2 test never enters."""
+    from procedurevrl_tpu.ops import pallas_attention as pa
+
+    rng = np.random.RandomState(13)
+    b, n, heads, d = 36, 49, 12, 64
+    c = heads * d
+    scale = d ** -0.5
+    qkv = jnp.asarray(rng.randn(b, n, 3 * c) * 0.3, jnp.float32)
+    qkv_c = jnp.asarray(rng.randn(b, 1, 3 * c) * 0.3, jnp.float32)
+    ref = pa._flash_cls_qkv_fwd(qkv, qkv_c, heads, scale)
+    monkeypatch.setenv("SPATIAL_PIPE", "1")
+    assert pa._pipe_nbuf() == 3 and b // pa._batch_group(b) == 3
+    out = pa._flash_cls_qkv_fwd_pipe(qkv, qkv_c, heads, scale)
+    for i, (a, b_) in enumerate(zip(out, ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"output {i}")
