@@ -86,6 +86,21 @@ def _softmax_probs(q, k, scale: float, n_valid: int):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+def _softmax_probs_gap(q, k, scale: float, n: int, cls_row: int):
+    """:func:`_softmax_probs` with a NON-contiguous valid key set — rows
+    ``< n`` plus the single cls row at ``cls_row`` (the pipelined kernel's
+    8-aligned tile layout interleaves zero-pad rows between the two)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [NP, NP] fp32
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where((col < n) | (col == cls_row), s,
+                  jnp.finfo(jnp.float32).min)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
 def _heads_per_block(d: int, num_heads: int) -> int:
     """Mosaic requires the last block dim to be a multiple of 128 (or the
     full array width): pack ceil(128/d) heads per grid step.
@@ -597,12 +612,20 @@ def _flash_cls_qkv_bwd(qkv, qkv_c, g, gc, num_heads: int, scale: float):
 # PALLAS_GB/HPB knob sweeps are exhausted — the residual is per-grid-step
 # DMA latency at the (gb, head-group) granularity Mosaic double-buffers.
 # This variant owns its DMA schedule: operands stay in HBM (pl.ANY) and
-# the kernel streams [gb, N, 3w] batch-chunks per head-group window
+# the kernel streams [gb, N8, 3w] batch-chunks per head-group window
 # through an NBUF-deep rotating buffer (SPATIAL_PIPE_NBUF, default 3),
 # overlapping input DMA, compute, and output DMA with NBUF-1 chunks of
 # lookahead instead of Mosaic's fixed 1.  Bonus over the grid kernel: the
-# cls row is DMA'd STRAIGHT into the tile's padding row (two sources, one
+# cls row is DMA'd STRAIGHT into the tile's padding rows (two sources, one
 # buffer), so the per-head _set_row splices disappear from the VPU path.
+#
+# Mosaic constraint (real TPU only; interpret mode does not enforce it):
+# every manual-DMA slice along a tiled memref's sublane dim must be
+# 8-row aligned (offset and size), so the wrapper pads the token axis to
+# N8 = roundup(N, 8) and the cls operand to the remaining npad - N8 rows.
+# The valid key set inside a tile is then NON-contiguous — rows < N plus
+# the cls row at N8, with zero-padding rows in between — which
+# _softmax_probs_gap masks out.
 
 
 def _spatial_pipe() -> bool:
@@ -618,30 +641,31 @@ def _pipe_nbuf() -> int:
 
 
 def _pipe_kernel(qkv_hbm, qc_hbm, o_hbm, oc_hbm, *, scale: float, n: int,
-                 npad: int, d: int, hpb: int, gb: int, nbuf: int, G: int,
-                 nch: int):
+                 n8: int, npad: int, d: int, hpb: int, gb: int, nbuf: int,
+                 G: int, nch: int):
     w = d * hpb
     steps = G * nch
+    qc_rows = npad - n8  # zero-padded cls rows fill the tile exactly
 
     def body(buf, obuf, clsout, sem_in, sem_cls, sem_out, sem_co):
         def in_dma(l, s):
             g, cb = l // nch, l % nch
             return pltpu.make_async_copy(
                 qkv_hbm.at[pl.ds(cb * gb, gb), :, pl.ds(g * 3 * w, 3 * w)],
-                buf.at[s, :, pl.ds(0, n), :], sem_in.at[s])
+                buf.at[s, :, pl.ds(0, n8), :], sem_in.at[s])
 
         def in_cls_dma(l, s):
-            # the cls row lands in the tile's padding row ``n`` — the
+            # the cls row lands at the 8-aligned padding row ``n8`` — the
             # splice the grid kernel does in-register per head pair
             g, cb = l // nch, l % nch
             return pltpu.make_async_copy(
                 qc_hbm.at[pl.ds(cb * gb, gb), :, pl.ds(g * 3 * w, 3 * w)],
-                buf.at[s, :, pl.ds(n, 1), :], sem_cls.at[s])
+                buf.at[s, :, pl.ds(n8, qc_rows), :], sem_cls.at[s])
 
         def out_dma(l, s):
             g, cb = l // nch, l % nch
             return pltpu.make_async_copy(
-                obuf.at[s, :, pl.ds(0, n), :],
+                obuf.at[s, :, pl.ds(0, n8), :],
                 o_hbm.at[pl.ds(cb * gb, gb), :, pl.ds(g * w, w)],
                 sem_out.at[s])
 
@@ -676,13 +700,15 @@ def _pipe_kernel(qkv_hbm, qc_hbm, o_hbm, oc_hbm, *, scale: float, n: int,
                     sv = slice(2 * w + i * d, 2 * w + (i + 1) * d)
                     q = buf[s, bi, :, sq]
                     k = buf[s, bi, :, sk]
-                    v = _zero_tail_rows(buf[s, bi, :, sv], n + 1)
-                    p = _softmax_probs(q, k, scale, n + 1)
+                    # every buf row is DMA-initialized (zeros outside the
+                    # n patches and the cls row), so v needs no masking
+                    v = buf[s, bi, :, sv]
+                    p = _softmax_probs_gap(q, k, scale, n, n8)
                     o = jnp.dot(p.astype(v.dtype), v,
                                 preferred_element_type=jnp.float32)
                     obuf[s, bi, :, sq] = o.astype(obuf.dtype)
                     clsout[g % 2, cb * gb + bi, :, sq] = (
-                        o[n:n + 1, :].astype(clsout.dtype))
+                        o[n8:npad, :].astype(clsout.dtype))
 
             out_dma(l, s).start()
 
@@ -706,7 +732,7 @@ def _pipe_kernel(qkv_hbm, qc_hbm, o_hbm, oc_hbm, *, scale: float, n: int,
         body,
         buf=pltpu.VMEM((nbuf, gb, npad, 3 * w), qkv_hbm.dtype),
         obuf=pltpu.VMEM((nbuf, gb, npad, w), o_hbm.dtype),
-        clsout=pltpu.VMEM((2, o_hbm.shape[0], 1, w), oc_hbm.dtype),
+        clsout=pltpu.VMEM((2, o_hbm.shape[0], npad - n8, w), oc_hbm.dtype),
         sem_in=pltpu.SemaphoreType.DMA((nbuf,)),
         sem_cls=pltpu.SemaphoreType.DMA((nbuf,)),
         sem_out=pltpu.SemaphoreType.DMA((nbuf,)),
@@ -716,24 +742,34 @@ def _pipe_kernel(qkv_hbm, qc_hbm, o_hbm, oc_hbm, *, scale: float, n: int,
 
 def _flash_cls_qkv_fwd_pipe(qkv, qkv_c, num_heads: int, scale: float):
     """Manually pipelined :func:`_flash_cls_qkv_fwd` (same layout contract:
-    window-permuted [B, N, 3C] qkv in, standard-order [B, N, C] out)."""
+    window-permuted [B, N, 3C] qkv in, standard-order [B, N, C] out).
+
+    The token axis is padded to ``n8 = roundup(n, 8)`` and the cls operand
+    to ``npad - n8`` rows so every manual DMA slice is 8-row aligned
+    (Mosaic rejects unaligned HBM memref slices on real TPU); the pad
+    rows are zeros and :func:`_softmax_probs_gap` masks them out of the
+    key set."""
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
     hpb = _heads_per_block(d, num_heads)
     assert hpb > 0, f"unsupported geometry: d={d}, H={num_heads}"
     gb = _batch_group(b)
-    npad = _pad_rows(n + 1)
+    n8 = _round_up(n, 8)
+    npad = _pad_rows(n8 + 8)  # >= 8 zero/cls rows above the patch rows
     nbuf = max(2, min(_pipe_nbuf(), b // gb))
+    if n8 != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n8 - n), (0, 0)))
+    qkv_c = jnp.pad(qkv_c, ((0, 0), (0, npad - n8 - qkv_c.shape[1]), (0, 0)))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    return pl.pallas_call(
+    o, oc = pl.pallas_call(
         functools.partial(
-            _pipe_kernel, scale=scale, n=n, npad=npad, d=d, hpb=hpb, gb=gb,
-            nbuf=nbuf, G=num_heads // hpb, nch=b // gb),
+            _pipe_kernel, scale=scale, n=n, n8=n8, npad=npad, d=d, hpb=hpb,
+            gb=gb, nbuf=nbuf, G=num_heads // hpb, nch=b // gb),
         in_specs=[any_spec, any_spec],
         out_specs=[any_spec, any_spec],
-        out_shape=[jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
-                   jax.ShapeDtypeStruct((b, 1, c), qkv.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((b, n8, c), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, npad - n8, c), qkv.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * (npad + 1) * (npad + 1) * d,
             bytes_accessed=4 * b * (n + 1) * c * qkv.dtype.itemsize,
@@ -741,6 +777,7 @@ def _flash_cls_qkv_fwd_pipe(qkv, qkv_c, num_heads: int, scale: float):
         ),
         interpret=_interpret(),
     )(qkv, qkv_c)
+    return o[:, :n, :], oc[:, :1, :]
 
 
 # --- saved-probabilities variant (opt-in SPATIAL_SAVE_PROBS=1) -----------
