@@ -780,14 +780,16 @@ def _flash_cls_qkv_fwd_pipe(qkv, qkv_c, num_heads: int, scale: float):
     return o[:, :n, :], oc[:, :1, :]
 
 
-# --- saved-probabilities variant (opt-in SPATIAL_SAVE_PROBS=1) -----------
-# The backward recomputes the fp32 softmax probabilities from qkv — the
-# VPU exp/max/sum chain BASELINE.md measured at ~0.8-1 ms/block.  This
-# variant saves them from the forward as [B, H, NP, KPAD] input-dtype
-# (KPAD = 256-padded key axis, ~153 MB/block at bench shapes) and the
-# backward skips the score matmul + softmax chain.  BASELINE round 3
-# rejected this on traffic arithmetic for the SPLIT-operand kernel;
-# kept opt-in here so the fused-qkv layout can be measured directly.
+# --- saved-probabilities variant (default ON; SPATIAL_SAVE_PROBS=0
+# reverts; single-device only — multi-device falls back to recompute) ---
+# The recompute backward re-derives the fp32 softmax probabilities from
+# qkv — the VPU exp/max/sum chain BASELINE.md measured at ~0.8-1
+# ms/block.  This variant saves them from the forward as [B, H, NP, KPAD]
+# input-dtype (KPAD = 256-padded key axis, ~153 MB/block at bench shapes)
+# and the backward skips the score matmul + softmax chain.  BASELINE
+# round 3 rejected this on traffic arithmetic for the SPLIT-operand
+# kernel; measured on the fused-qkv layout it is a real win
+# (86.32 +- 0.05 vs 85.90 +- 0.07 clips/sec/chip e2e, round 4).
 
 
 def _sp_batch_group(b: int) -> int:
@@ -803,7 +805,7 @@ def _sp_batch_group(b: int) -> int:
 def _save_spatial_probs() -> bool:
     import os
 
-    return os.environ.get("SPATIAL_SAVE_PROBS", "0") == "1"
+    return os.environ.get("SPATIAL_SAVE_PROBS", "1") == "1"
 
 
 def _fwd_cls_qkv_kernel_sp(qkv_ref, qkvc_ref, o_ref, oc_ref, p_ref, *,
@@ -1001,8 +1003,10 @@ def _facq_fwd(qkv, qkv_c, num_heads, scale):
                       "grad path")
         _warned_pipe_vs_saveprobs = True
     if _save_spatial_probs() and jax.device_count() == 1:
-        # single-chip bench experiment: probs travel as a named residual
-        # (the same "flash_attn_out" bucket the remat policy keeps)
+        # single-device default (multi-device falls through to the
+        # partition-aware recompute path): probs travel as a named
+        # residual (the same "flash_attn_out" bucket the remat policy
+        # keeps)
         from jax.ad_checkpoint import checkpoint_name
 
         out, out_c, probs = _flash_cls_qkv_fwd_sp(qkv, qkv_c, num_heads,
