@@ -55,7 +55,7 @@ def _tile_q(kp: int) -> int:
     """Query rows per tile, shrunk for wide key blocks: the backward holds
     ~3 fp32 [TQ, KP] arrays (p, dp, ds) live at once, which must fit the
     16 MB VMEM stack alongside the fp32 dk/dv accumulators.  The saved-probs
-    path (default, MVIT_SAVE_PROBS=1) additionally streams a double-buffered
+    path (opt-in MVIT_SAVE_PROBS=1) additionally streams a double-buffered
     [TQ, KP] input-dtype probs block — budgeted here so both backwards agree
     on TQ (the saved probs layout is chosen by the forward)."""
     for tq in (512, 256, 128, 64):
@@ -392,12 +392,15 @@ def _bwd_saved(q, k, v, kc, vc, rel, probs, k_shape, scale, g):
 
 
 def _save_probs() -> bool:
-    """MVIT_SAVE_PROBS=0 reverts to the recompute-in-backward path
-    (ablation). The saved probabilities cost ~130 MB/step HBM at the
-    bench shapes, far below the recomputed 4-matmul + softmax chain."""
+    """MVIT_SAVE_PROBS=1 opts into the saved-probabilities backward.
+
+    Default OFF (recompute-in-backward): despite the isolated-kernel win
+    (wide-key fwd+bwd 7.70 vs 9.20 ms), end-to-end the ~130 MB/step probs
+    HBM round-trip measures a net regression — 66.97 vs 67.44
+    clips/sec/chip on v5e (BASELINE.md round-4 e2e table)."""
     import os
 
-    return os.environ.get("MVIT_SAVE_PROBS", "1") != "0"
+    return os.environ.get("MVIT_SAVE_PROBS", "0") == "1"
 
 
 # partition-aware wrappers for the per-head kernel family (batch dim is

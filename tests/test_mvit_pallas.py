@@ -64,8 +64,8 @@ def test_mvit_fused_grads_match_xla(setup):
 
 
 def test_mvit_saveprobs_matches_recompute_backward(monkeypatch):
-    """The saved-probabilities backward (MVIT_SAVE_PROBS=1, default) and
-    the recompute-in-backward ablation path (=0) produce matching grads
+    """The saved-probabilities backward (opt-in MVIT_SAVE_PROBS=1) and
+    the default recompute-in-backward path (=0) produce matching grads
     through q/k/v/cls and the rel-pos tables."""
     from procedurevrl_tpu.ops.pallas_mvit_attention import (
         flash_attention_mvit,
