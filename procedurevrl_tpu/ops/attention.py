@@ -188,7 +188,8 @@ def mhsa_cls(
     ):
         from jax.ad_checkpoint import checkpoint_name
 
-        if os.environ.get("SPATIAL_FUSED_QKV", "1") != "0":
+        from procedurevrl_tpu.utils.env import env_flag
+        if env_flag("SPATIAL_FUSED_QKV", True):
             # single fused-qkv operand in window-permuted column order: the
             # opaque kernel call cannot fuse with producers, so the
             # jnp.split feeding the separate-q/k/v kernel materializes three

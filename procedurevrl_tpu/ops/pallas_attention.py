@@ -631,7 +631,9 @@ def _flash_cls_qkv_bwd(qkv, qkv_c, g, gc, num_heads: int, scale: float):
 def _spatial_pipe() -> bool:
     import os
 
-    return os.environ.get("SPATIAL_PIPE", "0") == "1"
+    from procedurevrl_tpu.utils.env import env_flag
+
+    return env_flag("SPATIAL_PIPE", False)
 
 
 def _pipe_nbuf() -> int:
@@ -805,7 +807,9 @@ def _sp_batch_group(b: int) -> int:
 def _save_spatial_probs() -> bool:
     import os
 
-    return os.environ.get("SPATIAL_SAVE_PROBS", "1") == "1"
+    from procedurevrl_tpu.utils.env import env_flag
+
+    return env_flag("SPATIAL_SAVE_PROBS", True)
 
 
 def _fwd_cls_qkv_kernel_sp(qkv_ref, qkvc_ref, o_ref, oc_ref, p_ref, *,
@@ -1257,7 +1261,9 @@ def _temporal_batched() -> bool:
     measured on hardware; v2 remains the default)."""
     import os
 
-    return os.environ.get("TEMPORAL_BATCHED", "0") == "1"
+    from procedurevrl_tpu.utils.env import env_flag
+
+    return env_flag("TEMPORAL_BATCHED", False)
 
 
 def _temporal_fwd_kernel(q_ref, k_ref, v_ref, o_ref, p_ref, *, scale: float,

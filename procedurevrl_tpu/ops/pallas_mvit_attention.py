@@ -400,7 +400,9 @@ def _save_probs() -> bool:
     clips/sec/chip on v5e (BASELINE.md round-4 e2e table)."""
     import os
 
-    return os.environ.get("MVIT_SAVE_PROBS", "0") == "1"
+    from procedurevrl_tpu.utils.env import env_flag
+
+    return env_flag("MVIT_SAVE_PROBS", False)
 
 
 # partition-aware wrappers for the per-head kernel family (batch dim is

@@ -277,14 +277,6 @@ def train(cfg):
     rep, data = replicated(mesh), batch_sharding(mesh)
     rng = jax.device_put(jax.random.PRNGKey(cfg.RNG_SEED), rep)
     state_sharding = rep
-    if accum > 1 and cfg.TPU.MESH_MODEL > 1:
-        # fail loudly: silently ignoring the knob would hand back the
-        # OOM/duplicated compute the user configured around
-        raise NotImplementedError(
-            "TPU.MESH_MODEL > 1 requires accum == 1 "
-            f"(GLOBAL_BATCH_SIZE gives accum={accum}); raise "
-            "TRAIN.BATCH_SIZE or lower GLOBAL_BATCH_SIZE"
-        )
     if cfg.TPU.MESH_MODEL > 1:
         # Megatron-style tensor parallelism over the `model` axis
         # (parallel/mesh.py:tp_state_shardings). The Pallas attention
@@ -314,14 +306,26 @@ def train(cfg):
                 None,
             )
         grad_shard = rep
-        if cfg.TPU.SHARD_OPT_STATE:
+        params_shard = rep
+        if cfg.TPU.MESH_MODEL > 1:
+            # accum x TP: the streaming accumulator mirrors the Megatron
+            # column/row param layout so each micro-step's grads land on
+            # the shard that owns the matching param slice (no gather);
+            # reference GLOBAL_BATCH_SIZE contract:
+            # reference tools/train_net.py:176-192
+            from procedurevrl_tpu.parallel.mesh import tp_param_shardings
+
+            grad_shard = tp_param_shardings(state.params, mesh)
+            params_shard = grad_shard
+        elif cfg.TPU.SHARD_OPT_STATE:
             from procedurevrl_tpu.parallel.mesh import zero1_grad_shardings
 
             grad_shard = zero1_grad_shardings(state.params, mesh)
-        grad_fn = jax.jit(step_fn.grad_step,
-                          in_shardings=(rep, rep, grad_shard, data, rep, rep),
-                          out_shardings=(grad_shard, rep, rep),
-                          donate_argnums=(2,))
+        grad_fn = jax.jit(
+            step_fn.grad_step,
+            in_shardings=(params_shard, rep, grad_shard, data, rep, rep),
+            out_shardings=(grad_shard, rep, rep),
+            donate_argnums=(2,))
         apply_fn = jax.jit(step_fn.apply_step,
                            in_shardings=(sharding, grad_shard),
                            out_shardings=sharding, donate_argnums=(0, 1))
