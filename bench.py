@@ -152,10 +152,10 @@ def main():
         # deletes the in-HLO copy; a real training loop would apply the
         # same format in the host prefetch path.
         try:
-            from jax._src.layout import AutoLayout, Format
+            from jax.experimental.layout import Format, Layout
 
             auto = jax.tree_util.tree_map(
-                lambda _: Format(AutoLayout(), data), batch)
+                lambda _: Format(Layout.AUTO, data), batch)
             step_auto = jax.jit(train_step,
                                 in_shardings=(rep, auto, rep),
                                 donate_argnums=(0,))
@@ -189,7 +189,12 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, metrics = step(state, batch, key)
-        jax.block_until_ready(metrics["loss"])
+        # forced host read: through the axon tunnel block_until_ready can
+        # return at dispatch time for arrays coming out of an
+        # AOT-compiled executable (BENCH_AUTO_LAYOUT measured an
+        # impossible 2700 clips/sec with it); a scalar device->host
+        # transfer of the last step's loss cannot complete early.
+        float(np.asarray(metrics["loss"]))
         dt = time.perf_counter() - t0
         samples.append(B * M * n_steps / dt / n_chips)
     clips_per_sec_chip = float(np.mean(samples))

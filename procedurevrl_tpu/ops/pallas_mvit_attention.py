@@ -189,8 +189,15 @@ def _fwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref,
 def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref, g_ref,
                 dq_ref, dkf_ref, dvf_ref, drc_ref,
                 *, scale: float, qn: int, kn: int, tq: int):
+    """Recompute backward (the e2e MViT default): probs re-derived in fp32
+    exactly as the forward, then ALL five gradient matmuls run with
+    input-dtype operands + fp32 accumulation — the saved-probs kernel's
+    round-2 policy (fp32-operand MXU matmuls cost multiple passes; the
+    probs cast to bf16 here matches what the saved-probs path reads back
+    from HBM, without its ~130 MB/step probs round-trip)."""
     qt = pl.program_id(1)
     nvalid = _valid_rows(qt, qn, tq)
+    dt = q_ref.dtype
     q = _mask_rows(q_ref[0], nvalid)
     # mask key padding rows: ds columns there are zero, but 0 * garbage
     # (NaN in interpret mode) would still poison dq = ds @ k
@@ -198,23 +205,23 @@ def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref, g_ref,
     v = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
     rc = _mask_rows(rc_ref[0], nvalid)
     ec = ec_ref[...]
-    p = _probs(q, k, rc, ec, scale, kn)
-    gf = _mask_rows(g_ref[0].astype(jnp.float32), nvalid)
+    pf = _probs(q, k, rc, ec, scale, kn)
+    p = pf.astype(dt)
+    gf = _mask_rows(g_ref[0], nvalid)
 
     dv = jax.lax.dot_general(p, gf, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(gf, v.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(gf, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [TQ, KP]
-    dq_ref[0] = (jnp.dot(ds, k.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
+    ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))  # [TQ, KP]
+    ds_c = ds.astype(dt)
+    dq_ref[0] = (jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
                  * scale).astype(dq_ref.dtype)
-    dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
-                             (((0,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
     drc_ref[0] = jax.lax.dot_general(
-        ds, ec, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ds_c, ec.astype(dt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(drc_ref.dtype)
 
     @pl.when(qt == 0)
