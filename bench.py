@@ -131,8 +131,18 @@ def main():
                        donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
+    # BENCH_UINT8=1: ship frames as uint8 + device-side normalize, exactly
+    # what the real loader does under TPU.HOST_UINT8 (the default). The
+    # fp32 default here predates the uint8 pipeline; uint8 is both more
+    # representative and a remat-copy probe — the [B*M,T,S,S,3] fp32 input
+    # costs ~4 ms/step of in-HLO compression copies for the remat
+    # backward, while a 4x-smaller uint8 parameter needs none.
+    if _os.environ.get("BENCH_UINT8") == "1":
+        frames = rng.randint(0, 256, (B, M, T, S, S, 3)).astype(np.uint8)
+    else:
+        frames = rng.randn(B, M, T, S, S, 3).astype(np.float32)
     batch = shard_batch(mesh, {
-        "frames": rng.randn(B, M, T, S, S, 3).astype(np.float32),
+        "frames": frames,
         "labels": np.zeros((B,), np.int32),
         "clip_text_ids": rng.randint(1, 49000, (B, M, 77)).astype(np.int32),
         "clip_vis_feat": rng.randn(B, M, 512).astype(np.float32),

@@ -21,6 +21,7 @@ projection placement, CLS token excluded from pooling and re-attached.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -30,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from procedurevrl_tpu.models.layers import DropPath, LayerNormFp32, Mlp
+from procedurevrl_tpu.ops import pallas_pool
 from procedurevrl_tpu.ops.common import trunc_normal_init
 
 
@@ -202,7 +204,17 @@ class MViTConfig:
 
 
 def _max_pool_3d(x: jax.Array, kernel, stride, padding) -> jax.Array:
-    """torch MaxPool3d(ceil_mode=False) on [B, T, H, W, C]."""
+    """torch MaxPool3d(ceil_mode=False) on [B, T, H, W, C].
+
+    MVIT_MAXPOOL=taps routes supported geometries through the
+    layout-neutral tap tree (ops/pallas_pool.max_pool3d_taps): the
+    reduce_window backward is a select-and-scatter XLA assigns a
+    batch-second-minor layout, costing relayout copies on the full-size
+    operand at every stage transition (BASELINE.md round-4 profile)."""
+    if (os.environ.get("MVIT_MAXPOOL", "xla") == "taps"
+            and pallas_pool.max_pool_supported(kernel, stride)
+            and list(padding) == [k // 2 for k in kernel]):
+        return pallas_pool.max_pool3d_taps(x, tuple(kernel), tuple(stride))
     window = (1,) + tuple(kernel) + (1,)
     strides = (1,) + tuple(stride) + (1,)
     pads = ((0, 0),) + tuple((p, p) for p in padding) + ((0, 0),)
@@ -250,6 +262,23 @@ class DepthwisePool3D(nn.Module):
         w = w.astype(self.dtype)
         if self.heads > 1:
             w = jnp.tile(w, (1, 1, 1, 1, self.heads))
+        # MVIT_POOL=kernel|taps: layout-opaque Pallas / pure-tap pool
+        # (ops/pallas_pool.py) instead of lax.conv — XLA's TPU conv
+        # emitter assigns the depthwise conv a batch-second-minor
+        # activation layout foreign to the attention stream, paying
+        # full-size relayout copies on every pool (3 per block).
+        # MEASURED NEGATIVE at kernel level (BASELINE.md round 4): the
+        # conv emitter's stencil register-reuse beats the tap-load loop
+        # ~2x even counting the copies it forces; the knob only routes
+        # the stride-1 pools (the strided kernel backward is far worse)
+        # and stays opt-in as the documented negative.
+        mode = os.environ.get("MVIT_POOL", "conv")
+        if (mode in ("kernel", "taps") and int(self.stride[1]) == 1
+                and pallas_pool.supported(self.kernel, self.stride)):
+            w27 = w.reshape(27, w.shape[-1])   # row-flattened (dt,dh,dw)
+            return pallas_pool.depthwise_pool3d(
+                x.astype(self.dtype), w27, int(self.stride[1]),
+                mode == "kernel")
         pads = tuple((k // 2, k // 2) for k in self.kernel)
         # no preferred_element_type: a fp32-widened output makes the conv
         # VJP a mixed-dtype conv (fp32 cotangent x bf16 kernel), which

@@ -229,6 +229,46 @@ def bench_mvit(kind: str):
     return _bench(loss, args)
 
 
+def bench_pool(impl: str):
+    """MViT depthwise pooling (ops/pallas_pool) vs the lax.conv baseline.
+
+    Geometry defaults to the stage-1 q-pool (the largest input); override
+    with POOL_HW / POOL_C / POOL_S / POOL_T env vars.  Note the conv
+    baseline in isolation understates the in-model cost: its relayout
+    copies depend on neighbouring-op layouts only the full step has."""
+    import jax
+    import jax.numpy as jnp
+
+    from procedurevrl_tpu.ops.pallas_pool import (
+        depthwise_pool3d, depthwise_pool3d_taps,
+    )
+
+    B, T = 18, int(os.environ.get("POOL_T", "8"))
+    HW = int(os.environ.get("POOL_HW", "56"))
+    C = int(os.environ.get("POOL_C", "96"))
+    s = int(os.environ.get("POOL_S", "1"))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, HW, HW, C) * 0.3, jnp.bfloat16)
+    w = jnp.asarray(rng.randn(27, C) * 0.2, jnp.bfloat16)
+
+    if impl == "conv":
+        def op(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w.reshape(3, 3, 3, 1, C), window_strides=(1, s, s),
+                padding=((1, 1),) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=C)
+    elif impl == "taps":
+        op = lambda x, w: depthwise_pool3d_taps(x, w, (1, s, s))
+    else:
+        op = lambda x, w: depthwise_pool3d(x, w, s, True)
+
+    def loss(x, w):
+        return jnp.sum(op(x, w).astype(jnp.float32))
+
+    return _bench(loss, (x, w))
+
+
 FAMILIES = {
     "spatial": lambda: bench_spatial(cls=False),
     "spatial_cls": lambda: bench_spatial(cls=True),
@@ -237,6 +277,9 @@ FAMILIES = {
     "mvit_ph": lambda: bench_mvit("ph"),
     "mvit_hl": lambda: bench_mvit("hl"),
     "mvit_kt": lambda: bench_mvit("kt"),
+    "pool": lambda: bench_pool("kernel"),
+    "pool_taps": lambda: bench_pool("taps"),
+    "pool_conv": lambda: bench_pool("conv"),
 }
 
 
