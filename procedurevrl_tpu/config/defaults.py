@@ -48,6 +48,10 @@ def _build_defaults() -> CfgNode:
     _C.DEV.ORDER_STRIDE = 2
     _C.DEV.ORDER_TFM_LAYERS = 4
     _C.DEV.ORDER_RECOG_BATCH = 9
+    # dev-only override of the CLIP text tower depth (12 = the real
+    # clip_vit_b_16): toy/dryrun configs shrink it so every sharded
+    # compile variant doesn't pay 12 frozen text blocks of compile time
+    _C.DEV.TEXT_LAYERS = 12
     _C.DEV.INPUT_NEXT_CLIP = False
     _C.DEV.EDIT_DISTANCE = 0
     _C.DEV.EPIC_USE_FRAME_LOADER = False
@@ -465,6 +469,11 @@ def _build_defaults() -> CfgNode:
     # Adam moment storage dtype: "float32" (exact) or "bfloat16"
     # (stochastic-rounded, halves optimizer-state HBM; solver/low_precision)
     _C.TPU.MOMENT_DTYPE = "float32"
+    # Run adam/adamw as ONE fused update over a flat [P] buffer instead of
+    # the per-parameter fusion swarm (solver/flat_optimizer; the swarm
+    # measured 24.7 ms/step = 20x its HBM roofline on the MViT bench step).
+    # float32 moments only; parameter trajectories match the per-leaf path.
+    _C.TPU.FLAT_OPT = False
     # Number of host-pipeline prefetch buffers.
     _C.TPU.PREFETCH_DEPTH = 2
     # Ship uint8 frames to the device and normalize there (4x less

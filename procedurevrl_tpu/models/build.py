@@ -64,6 +64,7 @@ def _common_kwargs(cfg) -> dict:
         order_recog_batch=cfg.DEV.ORDER_RECOG_BATCH,
         num_seg=cfg.MODEL.NUM_SEG,
         with_text_model=cfg.MODEL.TEXT_MODEL == "clip_vit_b_16",
+        text_layers=cfg.DEV.TEXT_LAYERS,
         epic_heads=cfg.TRAIN.DATASET == "Epickitchens" and not match_lang,
         drop_e=cfg.MODEL.DROP_E,
         dtype=dtype,

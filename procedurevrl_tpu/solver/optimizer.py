@@ -121,6 +121,22 @@ def construct_optimizer(params, cfg, sched: Callable) -> optax.GradientTransform
         "text": cfg.TRAIN.MULT,
         "main": 1.0,
     }
+    # TPU.FLAT_OPT: single-fusion flat adam/adamw (solver/flat_optimizer).
+    # Round-1 rejected optax.flatten (51.1 vs 53.3 clips/sec: generic
+    # ravel_pytree + per-group chains); the round-4 profile showed the
+    # per-leaf swarm at 24.7 ms/step vs a ~1.2 ms roofline, so the
+    # hand-rolled flat path (precomputed wd/lr-mult coefficient vectors,
+    # one concat in / one split out) re-opens the question.
+    if (cfg.TPU.FLAT_OPT
+            and cfg.SOLVER.OPTIMIZING_METHOD in ("adam", "adamw")
+            and cfg.TPU.MOMENT_DTYPE == "float32"):
+        from procedurevrl_tpu.solver.flat_optimizer import flat_adam
+
+        return flat_adam(
+            params, lambda p: _group_of(p, cfg), wd_of, mult_of, sched,
+            decoupled_wd=cfg.SOLVER.OPTIMIZING_METHOD == "adamw",
+        )
+
     transforms = {}
     for g in groups:
         if g == "frozen":

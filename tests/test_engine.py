@@ -157,3 +157,38 @@ def test_zero_shot_forecasting_path():
     )
     assert probs.shape == (8, 8)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_flat_optimizer_train_step_matches_per_leaf():
+    """A full compiled train step with TPU.FLAT_OPT=True produces the
+    same loss trajectory and params as the per-leaf optimizer chain
+    (flat path needs adamw; 8-device mesh exercises the flat [P] state
+    under the sharded step)."""
+    cfg = _tiny_cls_cfg()
+    cfg.SOLVER.OPTIMIZING_METHOD = "adamw"
+    rng = np.random.RandomState(0)
+    frames = rng.randn(8, 2, 32, 32, 3).astype(np.float32)
+    labels = np.arange(8) % cfg.MODEL.NUM_CLASSES
+
+    results = []
+    for flat in (False, True):
+        cfg.TPU.FLAT_OPT = flat
+        mesh, model, label_emb, state, step = _setup(cfg)
+        rep, data = replicated(mesh), batch_sharding(mesh)
+        compiled = jax.jit(step, in_shardings=(rep, data, rep))
+        batch = shard_batch(mesh, {"frames": frames, "labels": labels})
+        key = jax.device_put(jax.random.PRNGKey(0), rep)
+        state = jax.device_put(state, rep)
+        losses = []
+        for _ in range(3):
+            state, metrics = compiled(state, batch, key)
+            losses.append(float(metrics["loss"]))
+        results.append((losses, jax.device_get(state.params)))
+    (l_leaf, p_leaf), (l_flat, p_flat) = results
+    np.testing.assert_allclose(l_flat, l_leaf, atol=1e-5, rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_flat),
+            jax.tree_util.tree_leaves_with_path(p_leaf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=2e-6,
+            err_msg=jax.tree_util.keystr(path))

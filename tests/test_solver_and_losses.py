@@ -360,3 +360,56 @@ def test_adam_lp_tracks_fp32_adam():
     v_expect = (1.0 - 0.999 ** 2000) * 1e-6  # fp32 EMA of g^2
     v_mean = float(jnp.mean(s.nu.astype(jnp.float32)))
     assert abs(v_mean - v_expect) < 0.05 * v_expect, (v_mean, v_expect)
+
+
+@pytest.mark.parametrize("method", ["adamw", "adam"])
+def test_flat_optimizer_matches_per_leaf(method):
+    """TPU.FLAT_OPT=True (solver/flat_optimizer single-fusion update) must
+    reproduce the per-leaf optax chain's parameter trajectory exactly,
+    including group rules: bn decay, frozen text tower, default decay."""
+    import optax
+
+    cfg = get_cfg()
+    cfg.SOLVER.OPTIMIZING_METHOD = method
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.WEIGHT_DECAY = 0.05
+    cfg.BN.WEIGHT_DECAY = 0.0
+    cfg.SOLVER.LR_POLICY = "cosine"
+    cfg.SOLVER.MAX_EPOCH = 100
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    cfg.TRAIN.LABEL_EMB = "x"
+
+    rng = np.random.RandomState(0)
+    params = {
+        "blocks": {"w": jnp.asarray(rng.randn(4, 6).astype(np.float32)),
+                   "bn_scale": jnp.asarray(rng.randn(5).astype(np.float32))},
+        "text_model": {"w": jnp.asarray(rng.randn(3).astype(np.float32))},
+        "order": {"w": jnp.asarray(rng.randn(7).astype(np.float32))},
+    }
+    sched = lr_schedule(cfg, steps_per_epoch=1)
+
+    tx_leaf = construct_optimizer(params, cfg, sched)
+    cfg.TPU.FLAT_OPT = True
+    tx_flat = construct_optimizer(params, cfg, sched)
+    from procedurevrl_tpu.solver.flat_optimizer import FlatAdamState
+
+    st_flat = tx_flat.init(params)
+    assert isinstance(st_flat, FlatAdamState), "flat path not engaged"
+    st_leaf = tx_leaf.init(params)
+
+    p_leaf = p_flat = params
+    for step in range(4):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                np.random.RandomState(step).randn(*x.shape).astype(
+                    np.float32)), params)
+        u1, st_leaf = tx_leaf.update(g, st_leaf, p_leaf)
+        p_leaf = optax.apply_updates(p_leaf, u1)
+        u2, st_flat = tx_flat.update(g, st_flat, p_flat)
+        p_flat = optax.apply_updates(p_flat, u2)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_flat),
+            jax.tree_util.tree_leaves_with_path(p_leaf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7, rtol=1e-7,
+            err_msg=jax.tree_util.keystr(path))
