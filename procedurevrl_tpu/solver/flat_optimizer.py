@@ -68,14 +68,23 @@ def flat_adam(params, group_of: Callable[[str], str], wd_of: dict,
     P = (offsets[-1] + 1023) // 1024 * 1024
     pad = P - offsets[-1]
 
-    wd_np = np.zeros((P,), np.float32)
-    mult_np = np.zeros((P,), np.float32)
-    for (path, _), size, off in zip(paths, sizes, offsets):
+    # per-leaf scalar coefficients (NOT materialized [P] numpy constants:
+    # those get baked into the HLO as ~P*4-byte literals — a 121M-param
+    # model produced a ~1 GB compile request, rejected by the axon tunnel
+    # with HTTP 413; jnp.full segments embed only scalars and XLA fuses
+    # the concat into the elementwise update)
+    wd_c, mult_c = [], []
+    for (path, _) in paths:
         g = group_of(path)
-        if g == "frozen":
-            continue
-        wd_np[off:off + size] = wd_of[g]
-        mult_np[off:off + size] = mult_of[g]
+        wd_c.append(0.0 if g == "frozen" else float(wd_of[g]))
+        mult_c.append(0.0 if g == "frozen" else float(mult_of[g]))
+
+    def coeff_vec(values):
+        parts = [jnp.full((s,), c, jnp.float32)
+                 for s, c in zip(sizes, values)]
+        if pad:
+            parts.append(jnp.zeros((pad,), jnp.float32))
+        return jnp.concatenate(parts)
 
     def flatten(tree):
         parts = [jnp.ravel(x).astype(jnp.float32)
@@ -101,8 +110,8 @@ def flat_adam(params, group_of: Callable[[str], str], wd_of: dict,
         )
 
     def update_fn(updates, state, params=None):
-        wd_vec = jnp.asarray(wd_np)
-        mult_vec = jnp.asarray(mult_np)
+        wd_vec = coeff_vec(wd_c)
+        mult_vec = coeff_vec(mult_c)
         g = flatten(updates)
         p = flatten(params)
         if not decoupled_wd:          # adam: coupled decay on the grad
