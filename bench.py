@@ -86,6 +86,8 @@ def main():
         cfg.TPU.REMAT_SAVE_TEMPORAL = _os.environ["BENCH_SAVE_TEMPORAL"] == "1"
     if _os.environ.get("BENCH_FLAT_OPT"):
         cfg.TPU.FLAT_OPT = _os.environ["BENCH_FLAT_OPT"] == "1"
+    if _os.environ.get("BENCH_FUSED_OPT"):
+        cfg.TPU.FUSED_OPT = _os.environ["BENCH_FUSED_OPT"] == "1"
 
     # samples per step; each sample is ORDER_PRETRAIN_MAX_LEN = 9 clips
     B = int(_os.environ.get("BENCH_B", "2"))  # B=2 fits both models; MViT measured 61.0 at B=2 vs 59.7 at B=1

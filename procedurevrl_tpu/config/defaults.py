@@ -474,6 +474,9 @@ def _build_defaults() -> CfgNode:
     # measured 24.7 ms/step = 20x its HBM roofline on the MViT bench step).
     # float32 moments only; parameter trajectories match the per-leaf path.
     _C.TPU.FLAT_OPT = False
+    # Per-leaf SINGLE-EXPRESSION adam/adamw: one fusion per parameter
+    # instead of one per optax chain stage, no flat marshalling.
+    _C.TPU.FUSED_OPT = False
     # Number of host-pipeline prefetch buffers.
     _C.TPU.PREFETCH_DEPTH = 2
     # Ship uint8 frames to the device and normalize there (4x less

@@ -129,3 +129,78 @@ def flat_adam(params, group_of: Callable[[str], str], wd_of: dict,
         return split_like(upd, updates), FlatAdamState(count, m, v)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+class FusedAdamState(NamedTuple):
+    count: jax.Array
+    m: dict               # param-tree-shaped float32 first moments
+    v: dict               # param-tree-shaped float32 second moments
+
+
+def fused_adam(params, group_of: Callable[[str], str], wd_of: dict,
+               mult_of: dict, sched: Callable, *, decoupled_wd: bool,
+               b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+               ) -> optax.GradientTransformation:
+    """Per-leaf SINGLE-EXPRESSION Adam/AdamW (``TPU.FUSED_OPT``).
+
+    Same per-leaf structure as the default optax chain but the whole
+    update (moments + bias correction + decay + LR) is one expression per
+    parameter, so XLA emits ONE fusion per leaf instead of one per chain
+    stage (the round-4 profile shows 388 optimizer fusions for ~194
+    leaves at ~64 us each).  No flat marshalling — the flat [P] variant
+    (``flat_adam``) measured a large e2e NEGATIVE from its concat/split
+    traffic; this keeps zero extra HBM passes.  Trajectories match the
+    chain exactly (shared tests)."""
+    paths = _leaf_paths(params)
+    coeffs = []
+    for path, _ in paths:
+        g = group_of(path)
+        if g == "frozen":
+            coeffs.append((0.0, 0.0))
+        else:
+            coeffs.append((float(wd_of[g]), float(mult_of[g])))
+
+    def _tree_of(values, tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        return jax.tree_util.tree_unflatten(treedef, list(values))
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), params)
+        return FusedAdamState(
+            count=jnp.zeros([], jnp.int32),
+            m=zeros,
+            v=jax.tree_util.tree_map(jnp.copy, zeros),
+        )
+
+    def update_fn(updates, state, params=None):
+        count = optax.safe_int32_increment(state.count)
+        t = count.astype(jnp.float32)
+        c1 = 1.0 - jnp.power(b1, t)
+        c2 = 1.0 - jnp.power(b2, t)
+        lr = sched(state.count)
+
+        g_leaves, treedef = jax.tree_util.tree_flatten(updates)
+        p_leaves = jax.tree_util.tree_leaves(params)
+        m_leaves = jax.tree_util.tree_leaves(state.m)
+        v_leaves = jax.tree_util.tree_leaves(state.v)
+
+        us, ms, vs = [], [], []
+        for g, p, m, v, (wd, mult) in zip(g_leaves, p_leaves, m_leaves,
+                                          v_leaves, coeffs):
+            gf = g.astype(jnp.float32)
+            if not decoupled_wd and wd:
+                gf = gf + wd * p.astype(jnp.float32)
+            m2 = b1 * m + (1.0 - b1) * gf
+            v2 = b2 * v + (1.0 - b2) * jnp.square(gf)
+            u = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
+            if decoupled_wd and wd:
+                u = u + wd * p.astype(jnp.float32)
+            us.append(((-mult) * lr * u).astype(g.dtype))
+            ms.append(m2)
+            vs.append(v2)
+        return (jax.tree_util.tree_unflatten(treedef, us),
+                FusedAdamState(count, _tree_of(ms, state.m),
+                               _tree_of(vs, state.v)))
+
+    return optax.GradientTransformation(init_fn, update_fn)

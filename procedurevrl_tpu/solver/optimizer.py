@@ -136,6 +136,19 @@ def construct_optimizer(params, cfg, sched: Callable) -> optax.GradientTransform
             params, lambda p: _group_of(p, cfg), wd_of, mult_of, sched,
             decoupled_wd=cfg.SOLVER.OPTIMIZING_METHOD == "adamw",
         )
+    # TPU.FUSED_OPT: per-leaf single-expression update — one XLA fusion
+    # per parameter instead of one per optax chain stage, zero extra HBM
+    # traffic (the flat [P] variant above measured a large e2e negative
+    # from its concat/split marshalling)
+    if (cfg.TPU.FUSED_OPT
+            and cfg.SOLVER.OPTIMIZING_METHOD in ("adam", "adamw")
+            and cfg.TPU.MOMENT_DTYPE == "float32"):
+        from procedurevrl_tpu.solver.flat_optimizer import fused_adam
+
+        return fused_adam(
+            params, lambda p: _group_of(p, cfg), wd_of, mult_of, sched,
+            decoupled_wd=cfg.SOLVER.OPTIMIZING_METHOD == "adamw",
+        )
 
     transforms = {}
     for g in groups:

@@ -362,8 +362,9 @@ def test_adam_lp_tracks_fp32_adam():
     assert abs(v_mean - v_expect) < 0.05 * v_expect, (v_mean, v_expect)
 
 
+@pytest.mark.parametrize("variant", ["flat", "fused"])
 @pytest.mark.parametrize("method", ["adamw", "adam"])
-def test_flat_optimizer_matches_per_leaf(method):
+def test_flat_optimizer_matches_per_leaf(method, variant):
     """TPU.FLAT_OPT=True (solver/flat_optimizer single-fusion update) must
     reproduce the per-leaf optax chain's parameter trajectory exactly,
     including group rules: bn decay, frozen text tower, default decay."""
@@ -389,12 +390,18 @@ def test_flat_optimizer_matches_per_leaf(method):
     sched = lr_schedule(cfg, steps_per_epoch=1)
 
     tx_leaf = construct_optimizer(params, cfg, sched)
-    cfg.TPU.FLAT_OPT = True
+    if variant == "flat":
+        cfg.TPU.FLAT_OPT = True
+    else:
+        cfg.TPU.FUSED_OPT = True
     tx_flat = construct_optimizer(params, cfg, sched)
-    from procedurevrl_tpu.solver.flat_optimizer import FlatAdamState
+    from procedurevrl_tpu.solver.flat_optimizer import (
+        FlatAdamState, FusedAdamState,
+    )
 
     st_flat = tx_flat.init(params)
-    assert isinstance(st_flat, FlatAdamState), "flat path not engaged"
+    want = FlatAdamState if variant == "flat" else FusedAdamState
+    assert isinstance(st_flat, want), "requested path not engaged"
     st_leaf = tx_leaf.init(params)
 
     p_leaf = p_flat = params
