@@ -72,6 +72,22 @@ def _zero_tail_rows(x, n_valid: int):
     return jnp.where(row < n_valid, x, jnp.zeros_like(x))
 
 
+def _psum_div(p):
+    """p / rowsum(p).  SPATIAL_MXU_PSUM=1 computes the denominator as a
+    square fp32 ones-dot (broadcast rowsum in one MXU op) instead of the
+    VPU cross-lane reduce — the minimal-variant retest of the round-3
+    softmax restructure (which bundled roll-max + deferred normalize and
+    measured 2.7x slower; this swaps ONLY the sum)."""
+    from procedurevrl_tpu.utils.env import env_flag
+
+    if env_flag("SPATIAL_MXU_PSUM", False):
+        ones = jnp.ones((p.shape[1], p.shape[1]), jnp.float32)
+        rs = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return p / rs
+    return _psum_div(p)
+
+
 def _softmax_probs(q, k, scale: float, n_valid: int):
     """fp32 softmax(q k^T * scale) with out-of-range keys masked out."""
     s = jax.lax.dot_general(
@@ -83,7 +99,7 @@ def _softmax_probs(q, k, scale: float, n_valid: int):
         s = jnp.where(col < n_valid, s, jnp.finfo(jnp.float32).min)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    return _psum_div(p)
 
 
 def _softmax_probs_gap(q, k, scale: float, n: int, cls_row: int):
@@ -98,7 +114,7 @@ def _softmax_probs_gap(q, k, scale: float, n: int, cls_row: int):
                   jnp.finfo(jnp.float32).min)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    return _psum_div(p)
 
 
 def _heads_per_block(d: int, num_heads: int) -> int:
@@ -209,7 +225,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                 gf, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = _ds_chain(p, dp)
             ds_c = ds.astype(dt)
             dq_ref[gi, :, sl] = (jnp.dot(ds_c, k,
                                          preferred_element_type=jnp.float32)
@@ -382,7 +398,7 @@ def _bwd_cls_kernel(q_ref, k_ref, v_ref, qc_ref, kc_ref, vc_ref, g_ref, gc_ref,
                 gf, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = _ds_chain(p, dp)
             ds_c = ds.astype(dt)
             dq = jnp.dot(ds_c, k,
                          preferred_element_type=jnp.float32) * scale
@@ -564,7 +580,7 @@ def _bwd_cls_qkv_kernel(qkv_ref, qkvc_ref, g_ref, gc_ref, dqkv_ref, dqkvc_ref,
                 gf, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = _ds_chain(p, dp)
             ds_c = ds.astype(dt)
             dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
             dqkv_ref[gi, :, sq] = dq.astype(dqkv_ref.dtype)
@@ -812,6 +828,30 @@ def _save_spatial_probs() -> bool:
     return env_flag("SPATIAL_SAVE_PROBS", True)
 
 
+def _mxu_dsum() -> bool:
+    # Default ON since round 4: compute the ds-chain rowsum as one fp32
+    # MXU dot against a ones matrix (produces the broadcast rowsum
+    # directly) instead of a VPU cross-lane reduce — the round-2
+    # LayerNorm trick applied to the backward softmax jacobian
+    # contraction.  Kernel-level fwd+bwd 4.52 -> 4.05 ms; e2e 86.53 ->
+    # 87.43 +- 0.15 (BASELINE.md).  SPATIAL_MXU_DSUM=0 reverts.
+    from procedurevrl_tpu.utils.env import env_flag
+
+    return env_flag("SPATIAL_MXU_DSUM", True)
+
+
+def _ds_chain(p, dp):
+    """softmax VJP: ds = p * (dp - rowsum(dp * p)) with the rowsum either
+    a VPU cross-lane reduce (default) or a broadcast MXU ones-dot."""
+    prod = dp * p
+    if _mxu_dsum():
+        ones = jnp.ones((prod.shape[1], prod.shape[1]), jnp.float32)
+        rs = jax.lax.dot_general(prod, ones, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return p * (dp - rs)
+    return p * (dp - jnp.sum(prod, axis=-1, keepdims=True))
+
+
 def _fwd_cls_qkv_kernel_sp(qkv_ref, qkvc_ref, o_ref, oc_ref, p_ref, *,
                            scale: float, n_valid: int, d: int, hpb: int,
                            gb: int, kpad: int):
@@ -875,7 +915,7 @@ def _bwd_cls_qkv_kernel_sp(qkv_ref, qkvc_ref, g_ref, gc_ref, p_ref,
                 gf, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = _ds_chain(p, dp)
             ds_c = ds.astype(dt)
             dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
             dqkv_ref[gi, :, sq] = dq.astype(dqkv_ref.dtype)

@@ -129,6 +129,24 @@ def _valid_rows(tile_idx, qn: int, tq: int):
     return jnp.minimum(qn - tile_idx * tq, tq)
 
 
+def _ds_chain(pf, dp):
+    """softmax VJP ds = pf * (dp - rowsum(dp * pf)).  MVIT_MXU_DSUM=1
+    computes the rowsum as an fp32 MXU dot against a [KP, 128] ones
+    matrix (column 0 re-broadcast) instead of a VPU cross-lane reduce
+    over the wide key axis — the round-2 LayerNorm-reduction trick; a
+    square ones matrix (the spatial kernels' form) would be [KP, KP] =
+    11 MB VMEM at the wide-key blocks."""
+    from procedurevrl_tpu.utils.env import env_flag
+
+    prod = dp * pf
+    if env_flag("MVIT_MXU_DSUM", False):
+        ones = jnp.ones((prod.shape[1], 128), jnp.float32)
+        rs = jax.lax.dot_general(prod, ones, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return pf * (dp - rs[:, :1])
+    return pf * (dp - jnp.sum(prod, axis=-1, keepdims=True))
+
+
 def _mask_rows(x, n_valid):
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     return jnp.where(rows < n_valid, x, jnp.zeros_like(x))
@@ -213,7 +231,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref, g_ref,
                              preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(gf, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))  # [TQ, KP]
+    ds = _ds_chain(pf, dp)  # [TQ, KP]
     ds_c = ds.astype(dt)
     dq_ref[0] = (jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
                  * scale).astype(dq_ref.dtype)
@@ -257,7 +275,7 @@ def _bwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, g_ref, p_ref,
     dp = jax.lax.dot_general(gf, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     pf = p.astype(jnp.float32)
-    ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))  # [TQ, KP]
+    ds = _ds_chain(pf, dp)  # [TQ, KP]
     ds_c = ds.astype(dt)
     dq_ref[0] = (jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
                  * scale).astype(dq_ref.dtype)
@@ -593,7 +611,7 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref,
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(gf, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [TQ, KP]
+        ds = _ds_chain(p, dp)  # [TQ, KP]
         ds_c = ds.astype(dt)
         dq_ref[0, :, sl] = (jnp.dot(ds_c, k,
                                     preferred_element_type=jnp.float32)
