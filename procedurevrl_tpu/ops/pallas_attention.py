@@ -85,7 +85,7 @@ def _psum_div(p):
         rs = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         return p / rs
-    return _psum_div(p)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
 def _softmax_probs(q, k, scale: float, n_valid: int):
