@@ -852,6 +852,23 @@ def _ds_chain(p, dp):
     return p * (dp - jnp.sum(prod, axis=-1, keepdims=True))
 
 
+def _spatial_delta() -> bool:
+    # FlashAttention-2 backward identity: the softmax-jacobian rowsum
+    # rowsum_j(dp_ij * p_ij) equals delta_i = sum_d g_id * o_id because
+    # o = p @ v and dp = g @ v^T.  Computing delta from the (saved) forward
+    # output replaces the [NP, NP] fp32 elementwise product + [NP,NP]x[NP,NP]
+    # ones-dot with one [NP, d=64] elementwise + narrow lane reduce.
+    # MEASURED NEGATIVE at the spatial geometry (within-process A/B/A/B,
+    # v5e: fwd+bwd 4.08/4.20 -> 4.36/4.50 ms): this backward is
+    # DMA-bound, and the two extra o/oc input blocks (+~11% input bytes
+    # per grid step) cost more than the removed NP^3 ones-dot — the MXU
+    # rowsum rides compute the DMA pipeline already hides.  Opt-in
+    # SPATIAL_DELTA=1; the ones-dot _ds_chain stays the default.
+    from procedurevrl_tpu.utils.env import env_flag
+
+    return env_flag("SPATIAL_DELTA", False)
+
+
 def _fwd_cls_qkv_kernel_sp(qkv_ref, qkvc_ref, o_ref, oc_ref, p_ref, *,
                            scale: float, n_valid: int, d: int, hpb: int,
                            gb: int, kpad: int):
@@ -1000,6 +1017,100 @@ def _flash_cls_qkv_bwd_sp(qkv, qkv_c, probs, g, gc, num_heads: int,
     )(qkv, qkv_c, g, gc, probs)
 
 
+def _bwd_cls_qkv_kernel_sp_delta(qkv_ref, qkvc_ref, g_ref, gc_ref, p_ref,
+                                 o_ref, oc_ref, dqkv_ref, dqkvc_ref, *,
+                                 scale: float, n_valid: int, d: int,
+                                 hpb: int, gb: int, npad: int):
+    """Saved-probs backward with the FlashAttention-2 delta identity
+    (:func:`_spatial_delta`): ds = p * (dp - delta) where
+    delta_i = sum_d g_id * o_id — no [NP, NP] jacobian-rowsum product or
+    ones-dot.  o arrives as two extra residuals (frame out + cls out,
+    re-spliced like q/g)."""
+    w = d * hpb
+    nv1 = n_valid + 1
+    for gi in range(gb):
+        for i in range(hpb):
+            sq = slice(i * d, (i + 1) * d)
+            sk = slice(w + i * d, w + (i + 1) * d)
+            sv = slice(2 * w + i * d, 2 * w + (i + 1) * d)
+            q = _zero_tail_rows(
+                _set_row(qkv_ref[gi, :, sq], qkvc_ref[gi, :, sq], n_valid), nv1)
+            k = _zero_tail_rows(
+                _set_row(qkv_ref[gi, :, sk], qkvc_ref[gi, :, sk], n_valid), nv1)
+            v = _zero_tail_rows(
+                _set_row(qkv_ref[gi, :, sv], qkvc_ref[gi, :, sv], n_valid), nv1)
+            p = _zero_tail_rows(
+                p_ref[gi, i][:, :npad].astype(jnp.float32), nv1)
+
+            dt = q.dtype
+            gf = _zero_tail_rows(
+                _set_row(g_ref[gi, :, sq], gc_ref[gi, :, sq], n_valid), nv1,
+            )
+            of = _zero_tail_rows(
+                _set_row(o_ref[gi, :, sq], oc_ref[gi, :, sq], n_valid), nv1,
+            )
+            dv = jax.lax.dot_general(
+                p.astype(dt), gf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[gi, :, sv] = dv.astype(dqkv_ref.dtype)
+            dqkvc_ref[gi, :, sv] = dv[n_valid:nv1].astype(dqkvc_ref.dtype)
+
+            dp = jax.lax.dot_general(
+                gf, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(
+                gf.astype(jnp.float32) * of.astype(jnp.float32),
+                axis=-1, keepdims=True)
+            ds = p * (dp - delta)
+            ds_c = ds.astype(dt)
+            dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
+            dqkv_ref[gi, :, sq] = dq.astype(dqkv_ref.dtype)
+            dqkvc_ref[gi, :, sq] = dq[n_valid:nv1].astype(dqkvc_ref.dtype)
+            dk = jax.lax.dot_general(
+                ds_c, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqkv_ref[gi, :, sk] = dk.astype(dqkv_ref.dtype)
+            dqkvc_ref[gi, :, sk] = dk[n_valid:nv1].astype(dqkvc_ref.dtype)
+
+
+def _flash_cls_qkv_bwd_sp_delta(qkv, qkv_c, probs, o, oc, g, gc,
+                                num_heads: int, scale: float):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = _heads_per_block(d, num_heads)
+    gb = _sp_batch_group(b)
+    npad = _pad_rows(n + 1)
+    kpad = _round_up(npad, 128)
+    w = d * hpb
+    qspec = _head_spec(npad, 3 * w, gb)
+    qcspec = _cls_spec(3 * w, gb)
+    spec = _head_spec(npad, w, gb)
+    cspec = _cls_spec(w, gb)
+    ps = pl.BlockSpec((gb, hpb, npad, kpad), lambda bi, g2: (bi, g2, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_cls_qkv_kernel_sp_delta, scale=scale,
+                          n_valid=n, d=d, hpb=hpb, gb=gb, npad=npad),
+        grid=(b // gb, num_heads // hpb),
+        in_specs=[qspec, qcspec, spec, cspec, ps, spec, cspec],
+        out_specs=[qspec, qcspec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, 1, c3), qkv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * (npad + 1) * (npad + 1) * d,
+            bytes_accessed=(10 * b * (n + 1) * c
+                            + b * num_heads * npad * kpad)
+            * qkv.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv_c, g, gc, probs, o, oc)
+
+
 # lane factors are replicated under a mesh (the temporal-kernel precedent:
 # distinct in/out channel factors); TP meshes keep the head-sharded
 # separate-q/k/v kernel instead — ops/attention.py gates the fused-qkv path
@@ -1056,18 +1167,25 @@ def _facq_fwd(qkv, qkv_c, num_heads, scale):
         out, out_c, probs = _flash_cls_qkv_fwd_sp(qkv, qkv_c, num_heads,
                                                   scale)
         probs = checkpoint_name(probs, "flash_attn_out")
-        return (out, out_c), (qkv, qkv_c, probs)
+        if _spatial_delta():
+            # the delta backward reads the primal output (no extra write:
+            # o is live downstream anyway)
+            return (out, out_c), (qkv, qkv_c, probs, out, out_c)
+        return (out, out_c), (qkv, qkv_c, probs, None, None)
     return _flash_cls_qkv_fwd_sharded(qkv, qkv_c, num_heads, scale), (
-        qkv, qkv_c, None,
+        qkv, qkv_c, None, None, None,
     )
 
 
 def _facq_bwd(num_heads, scale, res, gs):
-    qkv, qkv_c, probs = res
+    qkv, qkv_c, probs, o, oc = res
     g, gc = gs
     if probs is None:
         return _flash_cls_qkv_bwd_sharded(qkv, qkv_c, g, gc, num_heads,
                                           scale)
+    if o is not None:
+        return _flash_cls_qkv_bwd_sp_delta(qkv, qkv_c, probs, o, oc, g, gc,
+                                           num_heads, scale)
     return _flash_cls_qkv_bwd_sp(qkv, qkv_c, probs, g, gc, num_heads, scale)
 
 

@@ -251,6 +251,54 @@ def _bwd_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref, g_ref,
     dvf_ref[0] += dv
 
 
+def _bwd_kernel_delta(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref,
+                      g_ref, o_ref, dq_ref, dkf_ref, dvf_ref, drc_ref,
+                      *, scale: float, qn: int, kn: int, tq: int):
+    """Recompute backward with the FlashAttention-2 delta identity
+    (:func:`_mvit_delta`): the softmax-jacobian rowsum over the WIDE key
+    axis (KP up to 1664) becomes delta_i = sum_d g_id * o_id — a d-wide
+    (64/96 lane) reduce against the saved forward output instead of a
+    [TQ, KP] product + KP-wide reduce.  Everything else matches
+    :func:`_bwd_kernel`."""
+    qt = pl.program_id(1)
+    nvalid = _valid_rows(qt, qn, tq)
+    dt = q_ref.dtype
+    q = _mask_rows(q_ref[0], nvalid)
+    k = _mask_rows(_splice_cls(k_ref[0], kc_ref[0], kn), kn + 1)
+    v = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
+    rc = _mask_rows(rc_ref[0], nvalid)
+    ec = ec_ref[...]
+    pf = _probs(q, k, rc, ec, scale, kn)
+    p = pf.astype(dt)
+    gf = _mask_rows(g_ref[0], nvalid)
+    of = _mask_rows(o_ref[0], nvalid)
+
+    dv = jax.lax.dot_general(p, gf, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(gf, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = pf * (dp - delta)  # [TQ, KP]
+    ds_c = ds.astype(dt)
+    dq_ref[0] = (jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
+                 * scale).astype(dq_ref.dtype)
+    dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    drc_ref[0] = jax.lax.dot_general(
+        ds_c, ec.astype(dt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(drc_ref.dtype)
+
+    @pl.when(qt == 0)
+    def _init():
+        dkf_ref[0] = jnp.zeros_like(dkf_ref[0])
+        dvf_ref[0] = jnp.zeros_like(dvf_ref[0])
+
+    dkf_ref[0] += dk
+    dvf_ref[0] += dv
+
+
 def _bwd_kernel_saveprobs(q_ref, k_ref, v_ref, kc_ref, vc_ref, g_ref, p_ref,
                           ec_ref, dq_ref, dkf_ref, dvf_ref, drc_ref,
                           *, scale: float, qn: int, kn: int, tq: int):
@@ -377,6 +425,42 @@ def _bwd(q, k, v, kc, vc, rel, k_shape, scale, g):
     return dq, dk, dv, dkc, dvc, drc.astype(rel.dtype)
 
 
+def _bwd_delta(q, k, v, kc, vc, rel, o, k_shape, scale, g):
+    bh, qn, d = q.shape
+    kn = k.shape[1]
+    kp = _round_up(kn + 1, 128)
+    e_cat = expander_cat_jnp(k_shape, kp)
+    tq = _tile_q(kp)
+    qs, ks, cs, rc, ec = _specs(bh, qn, kp, d, k_shape, tq)
+    kacc = pl.BlockSpec((1, kp, d), lambda b, t: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    grid = (bh, (qn + tq - 1) // tq)
+    dq, dkf, dvf, drc = pl.pallas_call(
+        functools.partial(_bwd_kernel_delta, scale=scale, qn=qn, kn=kn,
+                          tq=tq),
+        grid=grid,
+        in_specs=[qs, ks, ks, cs, cs, rc, ec, qs, qs],
+        out_specs=[qs, kacc, kacc, rc],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, qn, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, qn, sum(k_shape)), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * qn * kp * d,
+            bytes_accessed=7 * bh * qn * d * q.dtype.itemsize,
+            transcendentals=bh * qn * kp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, kc, vc, rel, e_cat, g, o)
+    dk = dkf[:, :kn].astype(k.dtype)
+    dv = dvf[:, :kn].astype(v.dtype)
+    dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
+    dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
+    return dq, dk, dv, dkc, dvc, drc.astype(rel.dtype)
+
+
 def _bwd_saved(q, k, v, kc, vc, rel, probs, k_shape, scale, g):
     bh, qn, d = q.shape
     kn = k.shape[1]
@@ -430,6 +514,25 @@ def _save_probs() -> bool:
     return env_flag("MVIT_SAVE_PROBS", False)
 
 
+def _mvit_delta() -> bool:
+    """FlashAttention-2 delta identity for the recompute backward:
+    rowsum_j(dp_ij p_ij) == delta_i = sum_d g_id o_id (because o = p @ v
+    and dp = g @ v^T), so the wide-key jacobian rowsum becomes a d-wide
+    reduce against the saved forward output.  Unlike MVIT_SAVE_PROBS
+    (~130 MB/step probs round-trip, e2e negative) the extra residual is
+    the primal OUTPUT — already live downstream, only an extra read.
+
+    MEASURED NEUTRAL on v5e (within-process A/B/A/B, BASELINE.md round-4:
+    mvit_ph 9.18/9.14 -> 9.11/9.16 ms, mvit_hl 2.82/2.75 -> 2.84/2.95):
+    Mosaic already hides the [TQ, KP] jacobian product + KP-wide VPU
+    rowsum under the backward's seven MXU matmuls and DMA — removing it
+    buys nothing and the o block adds input traffic.  Opt-in MVIT_DELTA=1,
+    default OFF (plain recompute backward)."""
+    from procedurevrl_tpu.utils.env import env_flag
+
+    return env_flag("MVIT_DELTA", False)
+
+
 # partition-aware wrappers for the per-head kernel family (batch dim is
 # the folded B*H; see the head-last note above for why only dim 0 shards)
 def _fwd_plain_t(q, k, v, kc, vc, rel, k_shape, scale):
@@ -448,6 +551,10 @@ def _bwd_t(q, k, v, kc, vc, rel, g, k_shape, scale):
 
 def _bwd_saved_t(q, k, v, kc, vc, rel, probs, g, k_shape, scale):
     return _bwd_saved(q, k, v, kc, vc, rel, probs, k_shape, scale, g)
+
+
+def _bwd_delta_t(q, k, v, kc, vc, rel, o, g, k_shape, scale):
+    return _bwd_delta(q, k, v, kc, vc, rel, o, k_shape, scale, g)
 
 
 _fwd_ph_sharded = partition_aware(_fwd_plain_t, _wrap(
@@ -469,6 +576,12 @@ _bwd_ph_saved_sharded = partition_aware(_bwd_saved_t, _wrap(
           "b q c, b k c, b k c, b u c, b u c, b q r"),
     need_replication=_MVIT_REPL + ("kp",), shard_c=False,
 ))
+_bwd_ph_delta_sharded = partition_aware(_bwd_delta_t, _wrap(
+    _bwd_delta_t, n_tensors=8, static_argnums=(8, 9),
+    rule=("b q c, b k c, b k c, b u c, b u c, b q r, b q c, b q c -> "
+          "b q c, b k c, b k c, b u c, b u c, b q r"),
+    need_replication=_MVIT_REPL, shard_c=False,
+))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -489,7 +602,16 @@ def flash_attention_mvit(q, k, v, kc, vc, rel, k_shape, scale):
 def _vjp_fwd(q, k, v, kc, vc, rel, k_shape, scale):
     if not _save_probs():
         out = _fwd_ph_sharded(q, k, v, kc, vc, rel, k_shape, scale)
-        return out, (q, k, v, kc, vc, rel, None)
+        if _mvit_delta():
+            from jax.ad_checkpoint import checkpoint_name
+
+            # the delta backward reads the primal output (already live
+            # downstream — an extra read, not an extra residual write);
+            # named ON the residual so remat policies keep it instead of
+            # replaying the forward kernel to regenerate it
+            res_out = checkpoint_name(out, "flash_attn_out")
+            return out, (q, k, v, kc, vc, rel, res_out, None)
+        return out, (q, k, v, kc, vc, rel, None, None)
     from jax.ad_checkpoint import checkpoint_name
 
     out, probs = _fwd_ph_sp_sharded(q, k, v, kc, vc, rel, k_shape, scale)
@@ -497,14 +619,16 @@ def _vjp_fwd(q, k, v, kc, vc, rel, k_shape, scale):
     # (models/mvit.py lists "flash_attn_probs"); without it the backward
     # would rebuild the forward kernel just to regenerate them
     probs = checkpoint_name(probs, "flash_attn_probs")
-    return out, (q, k, v, kc, vc, rel, probs)
+    return out, (q, k, v, kc, vc, rel, None, probs)
 
 
 def _vjp_bwd(k_shape, scale, res, g):
-    *primals, probs = res
-    if probs is None:
-        return _bwd_ph_sharded(*primals, g, k_shape, scale)
-    return _bwd_ph_saved_sharded(*primals, probs, g, k_shape, scale)
+    *primals, o, probs = res
+    if probs is not None:
+        return _bwd_ph_saved_sharded(*primals, probs, g, k_shape, scale)
+    if o is not None:
+        return _bwd_ph_delta_sharded(*primals, o, g, k_shape, scale)
+    return _bwd_ph_sharded(*primals, g, k_shape, scale)
 
 
 flash_attention_mvit.defvjp(_vjp_fwd, _vjp_bwd)
@@ -625,6 +749,60 @@ def _bwd_hl_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref,
         dvf_ref[0, :, sl] += dv
 
 
+def _bwd_hl_kernel_delta(q_ref, k_ref, v_ref, kc_ref, vc_ref, rc_ref, ec_ref,
+                         g_ref, o_ref, dq_ref, dkf_ref, dvf_ref, drc_ref,
+                         *, scale: float, qn: int, kn: int, d: int, H: int,
+                         kcat: int, tq: int):
+    """Head-last recompute backward with the FlashAttention-2 delta
+    identity (:func:`_mvit_delta`): per head, ds = p * (dp - delta) with
+    delta = rowsum_d(g * o) — a d-wide reduce instead of the [TQ, KP]
+    jacobian product + KP-wide rowsum of :func:`_bwd_hl_kernel`."""
+    qt = pl.program_id(2)
+    nvalid = _valid_rows(qt, qn, tq)
+    ec = ec_ref[...]
+
+    @pl.when(qt == 0)
+    def _init():
+        dkf_ref[0] = jnp.zeros_like(dkf_ref[0])
+        dvf_ref[0] = jnp.zeros_like(dvf_ref[0])
+
+    qf = _mask_rows(q_ref[0], nvalid)
+    kf = _mask_rows(_splice_cls(k_ref[0], kc_ref[0], kn), kn + 1)
+    vf = _mask_rows(_splice_cls(v_ref[0], vc_ref[0], kn), kn + 1)
+    gff = _mask_rows(g_ref[0], nvalid)
+    off = _mask_rows(o_ref[0], nvalid)
+    ecc = ec.astype(q_ref.dtype)
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = qf[:, sl]
+        k = kf[:, sl]
+        v = vf[:, sl]
+        rc = _mask_rows(rc_ref[0, 0][:, h * kcat:(h + 1) * kcat], nvalid)
+        p = _probs(q, k, rc, ec, scale, kn)
+        dt = q_ref.dtype
+        gf = gff[:, sl]
+
+        dv = jax.lax.dot_general(p.astype(dt), gf, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gf, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(
+            gf.astype(jnp.float32) * off[:, sl].astype(jnp.float32),
+            axis=-1, keepdims=True)
+        ds = p * (dp - delta)  # [TQ, KP]
+        ds_c = ds.astype(dt)
+        dq_ref[0, :, sl] = (jnp.dot(ds_c, k,
+                                    preferred_element_type=jnp.float32)
+                            * scale).astype(dq_ref.dtype)
+        dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        drc_ref[0, 0, :, h * kcat:(h + 1) * kcat] = jax.lax.dot_general(
+            ds_c, ecc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drc_ref.dtype)
+        dkf_ref[0, :, sl] += dk
+        dvf_ref[0, :, sl] += dv
+
+
 def _specs_hl(qn: int, kp: int, w: int, k_shape, tq: int):
     """Blocks for grid (B, head-groups, q-tiles); the channel axis walks
     w-wide head groups (w a 128-multiple or the full width)."""
@@ -704,6 +882,47 @@ def _bwd_hl(q, k, v, kc, vc, rel, k_shape, num_heads, scale, g):
         ),
         interpret=_interpret(),
     )(q, k, v, kc, vc, greg(rel, kcat), e_cat, g)
+    dk = dkf[:, :kn].astype(k.dtype)
+    dv = dvf[:, :kn].astype(v.dtype)
+    dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
+    dvc = dvf[:, kn:kn + 1].astype(vc.dtype)
+    drel = drc.transpose(0, 2, 1, 3).reshape(
+        B, qn, num_heads * kcat).astype(rel.dtype)
+    return dq, dk, dv, dkc, dvc, drel
+
+
+def _bwd_hl_delta(q, k, v, kc, vc, rel, o, k_shape, num_heads, scale, g):
+    B, qn, C = q.shape
+    d = C // num_heads
+    kn = k.shape[1]
+    kcat = sum(k_shape)
+    kp = _round_up(kn + 1, 128)
+    e_cat = expander_cat_jnp(k_shape, kp)
+    hg, w, tq = _hl_geometry(kp, C, num_heads, d)
+    hgn = num_heads // hg
+    greg = lambda r, kk: r.reshape(B, qn, hgn, hg * kk).transpose(0, 2, 1, 3)
+    qs, ks, cs, rspec, ec = _specs_hl(qn, kp, w, k_shape, tq)
+    kacc = pl.BlockSpec((1, kp, w), lambda b, g, t: (b, 0, g),
+                        memory_space=pltpu.VMEM)
+    dq, dkf, dvf, drc = pl.pallas_call(
+        functools.partial(_bwd_hl_kernel_delta, scale=scale, qn=qn, kn=kn,
+                          d=d, H=hg, kcat=kcat, tq=tq),
+        grid=(B, hgn, (qn + tq - 1) // tq),
+        in_specs=[qs, ks, ks, cs, cs, rspec(hg * kcat), ec, qs, qs],
+        out_specs=[qs, kacc, kacc, rspec(hg * kcat)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, qn, C), q.dtype),
+            jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, kp, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, hgn, qn, hg * kcat), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * num_heads * qn * kp * d,
+            bytes_accessed=7 * B * qn * C * q.dtype.itemsize,
+            transcendentals=B * num_heads * qn * kp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, kc, vc, greg(rel, kcat), e_cat, g, o)
     dk = dkf[:, :kn].astype(k.dtype)
     dv = dvf[:, :kn].astype(v.dtype)
     dkc = dkf[:, kn:kn + 1].astype(kc.dtype)
@@ -1063,6 +1282,19 @@ _bwd_hl_sharded = partition_aware(_bwd_hl_t, _wrap(
 ))
 
 
+def _bwd_hl_delta_t(q, k, v, kc, vc, rel, o, g, k_shape, num_heads, scale):
+    return _bwd_hl_delta(q, k, v, kc, vc, rel, o, k_shape, num_heads,
+                         scale, g)
+
+
+_bwd_hl_delta_sharded = partition_aware(_bwd_hl_delta_t, _wrap(
+    _bwd_hl_delta_t, n_tensors=8, static_argnums=(8, 9, 10),
+    rule=("b q c, b k c, b k c, b u c, b u c, b q r, b q c, b q c -> "
+          "b q c, b k c, b k c, b u c, b u c, b q r"),
+    need_replication=_MVIT_REPL, shard_c=False,
+))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def flash_attention_mvit_hl(q, k, v, kc, vc, rel, k_shape, num_heads, scale):
     """Head-last pooled attention with decomposed rel-pos bias.
@@ -1079,11 +1311,22 @@ def flash_attention_mvit_hl(q, k, v, kc, vc, rel, k_shape, num_heads, scale):
 
 def _vjp_hl_fwd(q, k, v, kc, vc, rel, k_shape, num_heads, scale):
     out = _fwd_hl_sharded(q, k, v, kc, vc, rel, k_shape, num_heads, scale)
-    return out, (q, k, v, kc, vc, rel)
+    if _mvit_delta():
+        from jax.ad_checkpoint import checkpoint_name
+
+        # delta backward residual: the primal output, named so remat
+        # policies keep it (see _vjp_fwd)
+        res_out = checkpoint_name(out, "flash_attn_out")
+        return out, (q, k, v, kc, vc, rel, res_out)
+    return out, (q, k, v, kc, vc, rel, None)
 
 
 def _vjp_hl_bwd(k_shape, num_heads, scale, res, g):
-    return _bwd_hl_sharded(*res, g, k_shape, num_heads, scale)
+    *primals, o = res
+    if o is not None:
+        return _bwd_hl_delta_sharded(*primals, o, g, k_shape, num_heads,
+                                     scale)
+    return _bwd_hl_sharded(*primals, g, k_shape, num_heads, scale)
 
 
 flash_attention_mvit_hl.defvjp(_vjp_hl_fwd, _vjp_hl_bwd)

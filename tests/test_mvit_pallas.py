@@ -95,6 +95,59 @@ def test_mvit_saveprobs_matches_recompute_backward(monkeypatch):
                                    err_msg=f"grad arg {i}")
 
 
+def test_mvit_delta_backward_matches_plain_recompute(monkeypatch):
+    """The FlashAttention-2 delta backward (MVIT_DELTA=1: jacobian rowsum
+    from the saved forward output) matches the plain recompute backward
+    (=0) on BOTH kernel families (per-head and head-last)."""
+    from procedurevrl_tpu.ops.pallas_mvit_attention import (
+        flash_attention_mvit, flash_attention_mvit_hl,
+    )
+
+    rng = np.random.RandomState(13)
+    k_shape = (2, 7, 7)
+    kn = int(np.prod(k_shape))
+    qn = 2 * 10 * 10
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.3, jnp.float32)
+
+    # per-head family
+    BH, d = 4, 96
+    args = (mk(BH, qn, d), mk(BH, kn, d), mk(BH, kn, d), mk(BH, 1, d),
+            mk(BH, 1, d), mk(BH, qn, sum(k_shape)))
+    scale = d ** -0.5
+
+    def loss_ph(*a):
+        return jnp.sum(jnp.sin(flash_attention_mvit(*a, k_shape, scale)))
+
+    monkeypatch.setenv("MVIT_DELTA", "0")
+    g_ref = jax.grad(loss_ph, argnums=tuple(range(6)))(*args)
+    monkeypatch.setenv("MVIT_DELTA", "1")
+    g_new = jax.grad(loss_ph, argnums=tuple(range(6)))(*args)
+    for i, (a, b) in enumerate(zip(g_new, g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"ph grad arg {i}")
+
+    # head-last family
+    B, H, d2 = 2, 2, 64
+    C = H * d2
+    args_hl = (mk(B, qn, C), mk(B, kn, C), mk(B, kn, C), mk(B, 1, C),
+               mk(B, 1, C), mk(B, qn, H * sum(k_shape)))
+    scale2 = d2 ** -0.5
+
+    def loss_hl(*a):
+        return jnp.sum(jnp.sin(
+            flash_attention_mvit_hl(*a, k_shape, H, scale2)))
+
+    monkeypatch.setenv("MVIT_DELTA", "0")
+    h_ref = jax.grad(loss_hl, argnums=tuple(range(6)))(*args_hl)
+    monkeypatch.setenv("MVIT_DELTA", "1")
+    h_new = jax.grad(loss_hl, argnums=tuple(range(6)))(*args_hl)
+    for i, (a, b) in enumerate(zip(h_new, h_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"hl grad arg {i}")
+
+
 def test_mvit_hl_kernel_matches_per_head_kernel():
     """flash_attention_mvit_hl (head-last blocks, in-kernel head loop)
     reproduces flash_attention_mvit (per-head [B*H] grid), fwd and grads."""

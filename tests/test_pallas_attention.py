@@ -346,9 +346,50 @@ def test_flash_cls_qkv_saved_probs_matches_recompute(monkeypatch):
         f, cl = flash_attention_cls_qkv(qkv, qkv_c, heads, scale)
         return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(cl))
 
+    # the saved-probs branch gates on a single-device runtime (multi-device
+    # falls through to the partition-aware recompute path); under the
+    # 8-virtual-device test mesh the gate must be forced open or this test
+    # silently compares recompute to recompute
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
     monkeypatch.setenv("SPATIAL_SAVE_PROBS", "0")
     v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
     monkeypatch.setenv("SPATIAL_SAVE_PROBS", "1")
+    v_new, g_new = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
+    for i, (a, b_) in enumerate(zip(g_new, g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"grad arg {i}")
+
+
+def test_flash_cls_qkv_delta_backward_matches_default(monkeypatch):
+    """SPATIAL_DELTA=1 (FlashAttention-2 jacobian-rowsum-from-output; a
+    measured kernel-level NEGATIVE kept as a documented knob) matches the
+    default saved-probs ones-dot backward, values and grads."""
+    from procedurevrl_tpu.ops.attention import qkv_window_perm
+    from procedurevrl_tpu.ops.pallas_attention import (
+        _heads_per_block, flash_attention_cls_qkv,
+    )
+
+    rng = np.random.RandomState(17)
+    b, n, heads, d = 2, 196, 4, 64
+    c = heads * d
+    scale = d ** -0.5
+    perm = np.asarray(qkv_window_perm(c, heads, _heads_per_block(d, heads)))
+    qkv = jnp.asarray(rng.randn(b, n, 3 * c), jnp.float32)[..., perm]
+    qkv_c = jnp.asarray(rng.randn(b, 1, 3 * c), jnp.float32)[..., perm]
+
+    def loss(qkv, qkv_c):
+        f, cl = flash_attention_cls_qkv(qkv, qkv_c, heads, scale)
+        return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(cl))
+
+    # force the single-device saved-probs gate open (see the saved-probs
+    # test above): the delta kernel only exists on that path
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    monkeypatch.setenv("SPATIAL_SAVE_PROBS", "1")
+    monkeypatch.setenv("SPATIAL_DELTA", "0")
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
+    monkeypatch.setenv("SPATIAL_DELTA", "1")
     v_new, g_new = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
     np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
     for i, (a, b_) in enumerate(zip(g_new, g_ref)):
