@@ -22,3 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: XLA:CPU caches executables on this image
+# (same cache the TPU entry points use); repeat suite runs skip the
+# multi-minute model-step compiles.  Entries are keyed on the serialized
+# HLO + config, so env-flag variants cache separately and correctly.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # cache is an optimization, never a test dependency
+    pass
+
