@@ -210,8 +210,16 @@ def _max_pool_3d(x: jax.Array, kernel, stride, padding) -> jax.Array:
     layout-neutral tap tree (ops/pallas_pool.max_pool3d_taps): the
     reduce_window backward is a select-and-scatter XLA assigns a
     batch-second-minor layout, costing relayout copies on the full-size
-    operand at every stage transition (BASELINE.md round-4 profile)."""
+    operand at every stage transition (BASELINE.md round-4 profile).
+
+    Single-device only: the tap ops carry no custom_partitioning, so under
+    a mesh GSPMD would run them replicated (all-gathering the full
+    activation).  Caveat: the tap tree's tie-break sends the gradient to
+    the first tap in (dt,dh,dw) order, not reduce_window's scan order — on
+    bf16 activations (8-bit mantissa) exact in-window ties are plausible,
+    so taps-mode training grads can deviate beyond rounding."""
     if (os.environ.get("MVIT_MAXPOOL", "xla") == "taps"
+            and jax.device_count() == 1
             and pallas_pool.max_pool_supported(kernel, stride)
             and list(padding) == [k // 2 for k in kernel]):
         return pallas_pool.max_pool3d_taps(x, tuple(kernel), tuple(stride))
@@ -271,9 +279,12 @@ class DepthwisePool3D(nn.Module):
         # conv emitter's stencil register-reuse beats the tap-load loop
         # ~2x even counting the copies it forces; the knob only routes
         # the stride-1 pools (the strided kernel backward is far worse)
-        # and stays opt-in as the documented negative.
+        # and stays opt-in as the documented negative.  Single-device
+        # only: no custom_partitioning on the pool op, so under a mesh
+        # GSPMD would run it replicated (full-activation all-gather).
         mode = os.environ.get("MVIT_POOL", "conv")
         if (mode in ("kernel", "taps") and int(self.stride[1]) == 1
+                and jax.device_count() == 1
                 and pallas_pool.supported(self.kernel, self.stride)):
             w27 = w.reshape(27, w.shape[-1])   # row-flattened (dt,dh,dw)
             return pallas_pool.depthwise_pool3d(

@@ -8,7 +8,6 @@ selection and the persistent compilation cache.
 from __future__ import annotations
 
 import os
-import warnings
 
 
 def setup_environment() -> None:
@@ -17,25 +16,28 @@ def setup_environment() -> None:
     enable_compilation_cache()
 
 
-_warned: set = set()
+_TRUE = ("1", "true", "yes", "on")
+_FALSE = ("0", "false", "no", "off")
 
 
 def env_flag(name: str, default: bool) -> bool:
-    """Read a boolean 0/1 env knob; warn ONCE on any other value.
+    """Read a boolean env knob; RAISE on an unrecognized value.
 
     The perf knobs (``MVIT_SAVE_PROBS``, ``SPATIAL_FUSED_QKV``, ...) accept
-    exactly "0"/"1" — a stale ``true`` left in a queue script would
-    otherwise silently select the default path."""
+    0/1/true/false/yes/no/on/off (case-insensitive).  Anything else raises:
+    a malformed knob silently selecting the default path would invalidate a
+    measurement round (a stale ``tru`` in a queue script must fail loudly,
+    not measure the wrong variant)."""
     raw = os.environ.get(name)
     if raw is None or raw == "":
         return default
-    if raw in ("0", "1"):
-        return raw == "1"
-    if name not in _warned:
-        _warned.add(name)
-        warnings.warn(
-            f"{name}={raw!r} is not '0' or '1'; using the default "
-            f"({int(default)}). Set {name}=0 or {name}=1 explicitly.",
-            stacklevel=2,
-        )
-    return default
+    low = raw.strip().lower()
+    if low in _TRUE:
+        return True
+    if low in _FALSE:
+        return False
+    raise ValueError(
+        f"{name}={raw!r} is not a recognized boolean "
+        f"({'/'.join(_TRUE)} or {'/'.join(_FALSE)}). Refusing to guess — "
+        f"a wrong perf knob invalidates the measurement."
+    )

@@ -95,6 +95,41 @@ def load_config(args):
     return _assert_and_infer_cfg(cfg)
 
 
+def compilation_cache_dir() -> str:
+    """Platform- and host-feature-keyed persistent-cache directory.
+
+    XLA:CPU executables embed host ISA features (AVX level etc.); a cache
+    shared across driver host types can hand a foreign executable back
+    ("could lead to execution errors such as SIGILL" warning in
+    MULTICHIP_r04.json).  CPU entries therefore live in a subdir keyed on
+    machine + a hash of the CPU feature flags.  TPU entries stay at the
+    base dir (they execute on the chip, not the host, and moving them
+    would cold-start the 10-25 min full-model compiles)."""
+    import hashlib
+    import os
+    import platform as _platform
+
+    import jax
+
+    base = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp")
+    plat = (jax.config.jax_platforms
+            or os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
+    if plat != "cpu":
+        return base
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    feat = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    return os.path.join(base, f"cpu-{_platform.machine()}-{feat}")
+
+
 def enable_compilation_cache():
     """Persistent XLA compilation cache: full-model train steps take minutes
     to compile; cache hits make reruns near-instant."""
@@ -102,8 +137,7 @@ def enable_compilation_cache():
 
     import jax
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/root/.cache/jax_comp")
+    cache_dir = compilation_cache_dir()
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -22,12 +22,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compile cache: XLA:CPU caches executables on this image
-# (same cache the TPU entry points use); repeat suite runs skip the
-# multi-minute model-step compiles.  Entries are keyed on the serialized
-# HLO + config, so env-flag variants cache separately and correctly.
+# Persistent XLA compile cache: XLA:CPU caches executables on this image;
+# repeat suite runs skip the multi-minute model-step compiles.  CPU entries
+# live in a host-feature-keyed subdir (compilation_cache_dir) so an
+# executable built for another driver host's ISA can never be handed back
+# here (the SIGILL-risk warning in MULTICHIP_r04.json).
 try:
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from procedurevrl_tpu.utils.parser import compilation_cache_dir
+
+    _cache = compilation_cache_dir()
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 except Exception:  # cache is an optimization, never a test dependency
     pass

@@ -10,12 +10,9 @@ from __future__ import annotations
 
 import sys
 
-import pytest
-
 sys.path.insert(0, "/root/repo")
 
 
-@pytest.mark.slow
 def test_dryrun_extras_mvit_and_bn_variants():
     """MViT DP with interpret-mode partition-aware pooled-attention
     kernels, and SlowFast DP + ZeRO-1 with batch_stats, each matching a

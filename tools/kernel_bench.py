@@ -39,7 +39,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _setup():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    from procedurevrl_tpu.utils.parser import enable_compilation_cache
+
+    enable_compilation_cache()
     return jax
 
 
