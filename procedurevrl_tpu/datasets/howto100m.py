@@ -24,7 +24,7 @@ import numpy as np
 
 from procedurevrl_tpu.datasets import decoder, transform
 from procedurevrl_tpu.datasets.build import register_dataset
-from procedurevrl_tpu.datasets.rng import EpochRNG
+from procedurevrl_tpu.datasets.rng import EpochRNG, stable_hash
 from procedurevrl_tpu.datasets.tokenizer import CONTEXT_LENGTH, build_tokenizer, tokenize
 from procedurevrl_tpu.utils import logging as logging_util
 
@@ -238,7 +238,7 @@ class Howto100mDevelop(EpochRNG):
         min_scale, max_scale, crop_size = scales
         try:
             if path.startswith("synthetic://"):
-                seed = (hash(path) + int(start * 7)) % (2 ** 31)
+                seed = (stable_hash(path) + int(start * 7)) % (2 ** 31)
                 r = np.random.RandomState(seed)
                 frames = r.randint(
                     0, 256, (self.num_frames, 360, 640, 3), np.uint8
@@ -399,7 +399,7 @@ class Howto100mDevelop(EpochRNG):
         except Exception:
             if self.dummy:
                 # deterministic pseudo-features keep the teacher non-degenerate
-                r = np.random.RandomState(hash(vidid) % 2 ** 31)
+                r = np.random.RandomState(stable_hash(vidid))
                 if self.order_pretrain:
                     f = r.randn(self.order_max_len, dim).astype(np.float32)
                 else:

@@ -13,7 +13,7 @@ import numpy as np
 
 from procedurevrl_tpu.datasets import decoder, transform
 from procedurevrl_tpu.datasets.build import register_dataset
-from procedurevrl_tpu.datasets.rng import EpochRNG
+from procedurevrl_tpu.datasets.rng import EpochRNG, stable_hash
 from procedurevrl_tpu.utils import logging as logging_util
 
 logger = logging_util.get_logger(__name__)
@@ -96,7 +96,7 @@ class Kinetics(EpochRNG):
             path = self._path_to_videos[index]
             try:
                 if path.startswith("synthetic://"):
-                    r = np.random.RandomState(hash(path) % 2 ** 31)
+                    r = np.random.RandomState(stable_hash(path))
                     frames = r.randint(
                         0, 256, (self.cfg.DATA.NUM_FRAMES, 240, 320, 3), np.uint8
                     )

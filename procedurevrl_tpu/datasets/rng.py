@@ -13,15 +13,28 @@ Policy:
 - test mode: deterministic seed from the (raw, unfolded) index only, so
   multi-view ensembling is reproducible run-to-run;
 - train/val: fold in the loader epoch (plumbed via ``set_epoch``) and the
-  raw index (before any ``% len`` EPOCH_MUL fold), plus the host pid so
-  distinct host processes never share streams.
+  raw index (before any ``% len`` EPOCH_MUL fold).  Hosts never share
+  streams because the per-host batch shards are disjoint in raw index —
+  no pid/host salt is folded in, so a run is bit-reproducible and a
+  2-process run sees the exact same per-sample draws as a 1-process run
+  of the same global batch (the multi-process equivalence proof relies
+  on this).
+
+``stable_hash`` replaces Python's ``hash()`` for string-keyed seeds:
+``hash`` is randomized per process (PYTHONHASHSEED), which would make
+synthetic data differ between processes of one job and between reruns.
 """
 
 from __future__ import annotations
 
-import os
+import zlib
 
 import numpy as np
+
+
+def stable_hash(s: str) -> int:
+    """Process-stable 31-bit hash of a string (crc32, not ``hash()``)."""
+    return zlib.crc32(s.encode("utf-8")) & 0x7FFFFFFF
 
 
 class EpochRNG:
@@ -50,6 +63,6 @@ class EpochRNG:
             seed = (index * salt) % 2**31
         else:
             seed = (
-                index * salt + (self._epoch + 1) * 1_000_000_007 + os.getpid()
+                index * salt + (self._epoch + 1) * 1_000_000_007
             ) % 2**31
         return np.random.RandomState(seed)

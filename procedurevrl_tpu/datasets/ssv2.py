@@ -17,7 +17,7 @@ import numpy as np
 
 from procedurevrl_tpu.datasets import transform
 from procedurevrl_tpu.datasets.build import register_dataset
-from procedurevrl_tpu.datasets.rng import EpochRNG
+from procedurevrl_tpu.datasets.rng import EpochRNG, stable_hash
 from procedurevrl_tpu.utils import logging as logging_util
 
 logger = logging_util.get_logger(__name__)
@@ -75,7 +75,7 @@ class Ssv2(EpochRNG):
 
     def _load_frame(self, path: str) -> np.ndarray:
         if path.startswith("synthetic://"):
-            r = np.random.RandomState(hash(path) % 2 ** 31)
+            r = np.random.RandomState(stable_hash(path))
             return r.randint(0, 256, (240, 320, 3), np.uint8)
         import cv2
 

@@ -72,8 +72,17 @@ def shard_batch(mesh: Mesh, batch, replicate_keys: Sequence[str] = ()):
     any other leaf whose leading dim doesn't divide the data axis is an
     error (silent replication would hide a mis-shaped batch and burn
     redundant compute on every device).
+
+    Under multi-process execution (``jax.process_count() > 1``) each
+    process passes its HOST-LOCAL batch shard (what the per-host loader
+    yields) and the leaves are assembled into global arrays with
+    ``jax.make_array_from_process_local_data`` — a plain ``device_put``
+    against a mesh-wide sharding raises on non-addressable devices (the
+    reference's per-rank DistributedSampler + DDP contract,
+    ``lib/datasets/utils.py:358-372``, at the array level).
     """
     ndata = mesh.shape[DATA_AXIS]
+    nproc = jax.process_count()
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
 
@@ -81,13 +90,18 @@ def shard_batch(mesh: Mesh, batch, replicate_keys: Sequence[str] = ()):
         x = np.asarray(x)
         name = jax.tree_util.keystr(path)
         if x.ndim == 0 or any(k in name for k in replicate_keys):
+            if nproc > 1:
+                return jax.make_array_from_process_local_data(rep, x)
             return jax.device_put(x, rep)
-        if x.shape[0] % ndata != 0:
+        if (x.shape[0] * nproc) % ndata != 0:
             raise ValueError(
-                f"batch leaf {name!r} has leading dim {x.shape[0]} which "
+                f"batch leaf {name!r} has global leading dim "
+                f"{x.shape[0] * nproc} ({x.shape[0]} per process) which "
                 f"does not divide the data axis ({ndata} devices); pad the "
                 f"batch or pass the key in replicate_keys"
             )
+        if nproc > 1:
+            return jax.make_array_from_process_local_data(bs, x)
         return jax.device_put(x, bs)
 
     return jax.tree_util.tree_map_with_path(put, batch)

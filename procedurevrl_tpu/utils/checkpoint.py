@@ -277,6 +277,33 @@ def load_reference_state_dict(path: str) -> Tuple[Dict[str, np.ndarray], Optiona
     return out, epoch
 
 
+def _resize_time_embed(flat_c: dict, flat_t: dict) -> None:
+    """Load-time time-embed resize (reference ``lib/utils/checkpoint.py:
+    360-365``): a checkpoint ``time_embed`` whose frame count differs from
+    the model's is nearest-resized to the model's length instead of being
+    shape-filtered away — e.g. finetuning a 96-frame COIN model from an
+    8-frame pretraining checkpoint keeps the pretrained (interpolated)
+    temporal positions, not a fresh random init.  In-place on ``flat_c``."""
+    for k, tv in flat_t.items():
+        if not k.endswith("time_embed"):
+            continue
+        cv = flat_c.get(k)
+        if cv is None:
+            continue
+        cv = np.asarray(cv)
+        tshape = tuple(np.shape(tv))
+        if (cv.ndim == 3 and len(tshape) == 3 and cv.shape[1] != tshape[1]
+                and cv.shape[0] == tshape[0] and cv.shape[2] == tshape[2]):
+            idx = np.floor(
+                np.arange(tshape[1]) * (cv.shape[1] / tshape[1])
+            ).astype(np.int64)
+            flat_c[k] = cv[:, idx]
+            logger.info(
+                "Nearest-resized %s time axis %d -> %d at load "
+                "(reference checkpoint.py:360-365)", k, cv.shape[1], tshape[1]
+            )
+
+
 def load_pretrained_encoder(cfg, params):
     """Initialize the video encoder from an external pretrained checkpoint
     (the reference's build-time ``load_pretrained``: ImageNet ViT-B/16 for
@@ -329,6 +356,7 @@ def load_pretrained_encoder(cfg, params):
 
     flat_t = flatten_dict(params["encoder"], sep="/")
     flat_c = flatten_dict(enc, sep="/")
+    _resize_time_embed(flat_c, flat_t)
     merged, skipped = {}, []
     for k, tv in flat_t.items():
         cv = flat_c.get(k)
@@ -366,6 +394,7 @@ def load_reference_params(path: str, params_template,
     converted = convert_procedurevrl(state)
     flat_t = flatten_dict(params_template, sep="/")
     flat_c = flatten_dict(converted, sep="/")
+    _resize_time_embed(flat_c, flat_t)
     merged = {}
     missing, skipped = [], []
     for k, tv in flat_t.items():

@@ -194,7 +194,9 @@ class OracleOrderTransformer(nn.Module):
 
 
 class OracleTimeSformer(nn.Module):
-    """reference lib/models/vit.py:183-423 (eval mode, matching resolution)"""
+    """reference lib/models/vit.py:183-423 (eval mode), including the
+    nearest-resize branches for a mismatched input resolution
+    (vit.py:375-388) and frame count (vit.py:399-404)."""
 
     def __init__(self, img_size, patch, dim, depth, heads, num_frames):
         super().__init__()
@@ -219,9 +221,28 @@ class OracleTimeSformer(nn.Module):
         D = x.size(-1)
         n = x.size(1)
         cls = self.cls_token.expand(x.size(0), -1, -1)
-        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        x = torch.cat([cls, x], dim=1)
+        if x.size(1) != self.pos_embed.size(1):
+            # resolution mismatch: nearest-resize the patch pos embeddings
+            cls_pe = self.pos_embed[:, :1, :]
+            other = self.pos_embed[:, 1:, :].transpose(1, 2)
+            P = int(other.size(2) ** 0.5)
+            Hp = n // Wp
+            other = other.reshape(1, D, P, P)
+            new_pe = F.interpolate(other, size=(Hp, Wp), mode="nearest")
+            new_pe = new_pe.flatten(2).transpose(1, 2)
+            x = x + torch.cat([cls_pe, new_pe], dim=1)
+        else:
+            x = x + self.pos_embed
         cls = x[:B, :1, :]
-        x = x[:, 1:].reshape(B, T, n, D) + self.time_embed.unsqueeze(2)
+        x = x[:, 1:].reshape(B, T, n, D)
+        if T != self.time_embed.size(1):
+            te = F.interpolate(
+                self.time_embed.transpose(1, 2), size=T, mode="nearest"
+            ).transpose(1, 2)
+        else:
+            te = self.time_embed
+        x = x + te.unsqueeze(2)
         x = x.permute(0, 2, 1, 3).reshape(B, n * T, D)
         x = torch.cat([cls, x], dim=1)
         for blk in self.blocks:
