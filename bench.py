@@ -45,6 +45,108 @@ def encoder_train_flops_per_clip(cfg) -> float:
     return flops_count_timesformer(cfg) * 1e9 * 3.0
 
 
+def bench_eval(pretrain_cfg, note):
+    """BENCH_EVAL=1: the deployment path — zero-shot multi-view test step
+    (fwd-only ProcedureVRL with the 778-step COIN bank, bf16, the exact
+    ``make_eval_step`` the test tool jits; reference
+    ``tools/test_net.py:59-128``).  A "clip" is one 8-frame encoder
+    forward, the same accounting as the training metric; the multi-view
+    ensemble is BENCH_EVAL_B view-forwards per step (default 16 = one
+    TEST.BATCH_SIZE of views).  ``vs_baseline`` is forward-only MFU."""
+    import os as _os
+    import sys
+
+    del pretrain_cfg
+    from procedurevrl_tpu.config import get_cfg
+    from procedurevrl_tpu.engine.steps import (
+        TrainState, make_eval_step,
+    )
+    from procedurevrl_tpu.models.build import build_model
+    from procedurevrl_tpu.parallel.mesh import (
+        batch_sharding, build_mesh, replicated, shard_batch,
+    )
+    from procedurevrl_tpu.solver import construct_optimizer, lr_schedule
+    from procedurevrl_tpu.utils.misc import flops_count_timesformer
+    from tools.train_net import init_params
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/COIN/step_classification.yaml")
+    cfg.DEV.LOAD_DUMMY_DATA = True
+    cfg.DEV.MATCH_LANG_EMB = True   # zero-shot: bank matching, no CE head
+    cfg.OUTPUT_DIR = "/tmp/bench_out"
+    B = int(_os.environ.get("BENCH_EVAL_B", "16"))
+    T, S = cfg.DATA.NUM_FRAMES, cfg.DATA.TEST_CROP_SIZE
+
+    mesh = build_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
+    model, label_emb = build_model(cfg)
+    note("initializing params")
+    params = init_params(cfg, model, label_emb)
+    sched = lr_schedule(cfg, 1)
+    tx = construct_optimizer(
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params),
+        cfg, sched)
+    state = TrainState.create(params, tx)
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    ev = make_eval_step(model, cfg, label_emb)
+
+    # the tunnel caches identical executions AND block_until_ready can
+    # return at dispatch: time an in-jit lax.scan whose iterations chain
+    # (each step's frames fold in a pred-derived value), with a forced
+    # scalar host read at the end — the standard harness (BASELINE.md
+    # methodology note).
+    import jax.numpy as jnp
+    from jax import lax
+
+    n_steps = 20
+
+    def chained(variables, frames, salt):
+        # salt makes each repeat's execution distinct through the caching
+        # tunnel (warmup/repeat calls would otherwise be byte-identical)
+        frames = frames + salt.astype(frames.dtype)
+        def body(fr, _):
+            preds = ev(variables, {"frames": fr})
+            bump = (preds[0, 0] * 1e-6).astype(fr.dtype)  # dynamic, ~0
+            return fr + bump, preds.mean()
+        fr_out, means = lax.scan(body, frames, None, length=n_steps)
+        return means.sum() + fr_out.astype(jnp.float32)[0, 0, 0, 0, 0]
+
+    chained_j = jax.jit(chained, in_shardings=(rep, data, rep))
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (B, T, S, S, 3)).astype(np.uint8)
+    frames = jax.device_put(frames, data)
+    variables = jax.device_put(state.eval_variables, rep)
+
+    def salt(i):
+        return jax.device_put(np.uint8(i), rep)
+
+    note("compiling eval scan")
+    float(np.asarray(chained_j(variables, frames, salt(0))))
+    note("warmup done")
+
+    repeats = int(_os.environ.get("BENCH_REPEATS", "3"))
+    n_chips = jax.device_count()
+    samples = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(chained_j(variables, frames, salt(r + 1))))
+        dt = time.perf_counter() - t0
+        samples.append(B * n_steps / dt / n_chips)
+    clips = float(np.mean(samples))
+    note("samples clips/sec/chip: " + ", ".join(f"{s:.2f}" for s in samples)
+         + f"  (mean {clips:.2f} +- {np.std(samples):.2f})")
+    flops_fwd = flops_count_timesformer(cfg) * 1e9
+    sol = peak_tflops() * 1e12 / flops_fwd
+    print(json.dumps({
+        "metric": "zero-shot eval clips/sec/chip "
+                  f"(TimeSformer-B {T}f, 778-step COIN bank, B={B} views)",
+        "value": round(clips, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / sol, 4),
+    }))
+
+
 def main():
     import sys
 
@@ -88,6 +190,9 @@ def main():
         cfg.TPU.FLAT_OPT = _os.environ["BENCH_FLAT_OPT"] == "1"
     if _os.environ.get("BENCH_FUSED_OPT"):
         cfg.TPU.FUSED_OPT = _os.environ["BENCH_FUSED_OPT"] == "1"
+
+    if _os.environ.get("BENCH_EVAL") == "1":
+        return bench_eval(cfg, note)
 
     # samples per step; each sample is ORDER_PRETRAIN_MAX_LEN = 9 clips
     B = int(_os.environ.get("BENCH_B", "2"))  # B=2 fits both models; MViT measured 61.0 at B=2 vs 59.7 at B=1

@@ -548,6 +548,17 @@ class MultiScaleAttention(nn.Module):
         kcat = k_t + k_h + k_w
         rel_cat = jnp.concatenate(
             [rel_t, rel_h, rel_w], axis=-1).astype(q.dtype)
+        from procedurevrl_tpu.utils.env import env_flag
+
+        if env_flag("MVIT_SAVE_REL", False):
+            # keep the concatenated bias as a remat residual: the three
+            # producer einsums are h/w/t-BATCHED dots whose lhs XLA
+            # materializes batch-leading ([h,b,t,w,y,d] copies of q, the
+            # largest single family in the round-5 HLO copy census at
+            # ~4.9 GB/step incl. the remat recompute) — storing the
+            # [B, qn, H*kcat] bf16 table (~8 MB/block) skips the
+            # recompute's three relayouts outright
+            rel_cat = checkpoint_name(rel_cat, "mvit_rel")
         pack = lambda r, kk: r.reshape(B, qn, H * kk)
         # MVIT_HL=0 forces the per-head kernel (head-split at this
         # boundary) while keeping the head-last pooling/layout elsewhere
@@ -857,7 +868,7 @@ class MViTEncoder(nn.Module):
                 MultiScaleBlock, static_argnums=(2, 3), prevent_cse=False,
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "flash_attn_out", "flash_attn_lse", "flash_attn_probs",
-                    "gelu_grad"),
+                    "gelu_grad", "mvit_rel"),
             )
         for i, spec in enumerate(plan):
             # thw comes from the static schedule (spec["input_size"]), not
