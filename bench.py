@@ -147,6 +147,120 @@ def bench_eval(pretrain_cfg, note):
     }))
 
 
+def bench_finetune(note):
+    """BENCH_FINETUNE=1: the COIN linear-finetune train step
+    (configs/COIN/step_classification.yaml: frozen encoder, trainable
+    heads + order transformer, SGD+momentum, CE loss; reference
+    ``tools/train_net.py:129-162``), full size on the real chip.
+    BENCH_FT_CFG=ek benches the EPIC-Kitchens FULL finetune instead
+    (TRAIN.LINEAR False: encoder trains at lr_mult, full backward).
+    ``vs_baseline`` is MFU against the step's actual matmul FLOPs:
+    fwd-only for the linear probe (the frozen encoder's backward is
+    skipped — see engine/steps.py frozen-param stop_gradient), fwd+2bwd
+    for the full finetune."""
+    import os as _os
+
+    from procedurevrl_tpu.config import get_cfg
+    from procedurevrl_tpu.engine.steps import TrainState, make_train_step
+    from procedurevrl_tpu.models.build import build_model
+    from procedurevrl_tpu.parallel.mesh import (
+        batch_sharding, build_mesh, replicated, shard_batch,
+    )
+    from procedurevrl_tpu.solver import construct_optimizer, lr_schedule
+    from procedurevrl_tpu.utils.misc import flops_count_timesformer
+    from tools.train_net import init_params
+
+    ft_cfg = _os.environ.get("BENCH_FT_CFG", "coin")
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "configs/EK/egocentric_action_classification.yaml"
+        if ft_cfg == "ek" else "configs/COIN/step_classification.yaml")
+    cfg.DEV.LOAD_DUMMY_DATA = True
+    cfg.OUTPUT_DIR = "/tmp/bench_out"
+    # COIN: one reference per-GPU batch (16). EK is 32-frame full-finetune:
+    # B=2 is what fits one v5e's 16 GB (64 frame-units + full backward).
+    B = int(_os.environ.get("BENCH_FT_B", "2" if ft_cfg == "ek" else "16"))
+    if _os.environ.get("BENCH_FT_SMOKE") == "1":  # CPU-mesh smoke geometry
+        cfg.TIMESFORMER.DEPTH = 1
+        cfg.DATA.NUM_FRAMES = 2
+        cfg.DATA.TRAIN_CROP_SIZE = 32
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        B = 2
+    T, S = cfg.DATA.NUM_FRAMES, cfg.DATA.TRAIN_CROP_SIZE
+
+    if _os.environ.get("BENCH_FT_NO_STOP") == "1":
+        # A/B probe: the pre-round-5 compute-then-zero behavior (full
+        # backward through the frozen encoder, updates still masked by
+        # optax.set_to_zero) — for the BASELINE.md before/after row only
+        import procedurevrl_tpu.solver.optimizer as _opt_mod
+
+        _opt_mod.stop_frozen_gradients = lambda params, cfg: params
+        note("BENCH_FT_NO_STOP: frozen-param stop_gradient DISABLED")
+
+    mesh = build_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
+    model, label_emb = build_model(cfg)
+    note("initializing params")
+    params = init_params(cfg, model, label_emb)
+    sched = lr_schedule(cfg, 1000)
+    tx = construct_optimizer(
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params),
+        cfg, sched)
+    state = TrainState.create(params, tx)
+    train_step = make_train_step(model, tx, cfg, label_emb, sched, 1)
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    step = jax.jit(train_step, in_shardings=(rep, data, rep),
+                   donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": rng.randint(0, 256, (B, T, S, S, 3)).astype(np.uint8),
+        "labels": rng.randint(0, cfg.MODEL.NUM_CLASSES, (B,)).astype(np.int32),
+    }
+    if ft_cfg == "ek":
+        del batch["labels"]
+        batch["verb"] = rng.randint(0, 97, (B,)).astype(np.int32)
+        batch["noun"] = rng.randint(0, 300, (B,)).astype(np.int32)
+    batch = shard_batch(mesh, batch)
+    key = jax.device_put(jax.random.PRNGKey(0), rep)
+    state = jax.device_put(state, rep)
+
+    note("compiling finetune step")
+    for i in range(2):
+        state, metrics = step(state, batch, key)
+        jax.block_until_ready(metrics["loss"])
+        note(f"warmup step {i} done")
+
+    # donation + the step's own step-count RNG folding keep executions
+    # distinct through the caching tunnel; forced host read closes each
+    # timing window (BASELINE.md methodology note)
+    n_steps = 10
+    repeats = int(_os.environ.get("BENCH_REPEATS", "3"))
+    n_chips = jax.device_count()
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = step(state, batch, key)
+        float(np.asarray(metrics["loss"]))
+        dt = time.perf_counter() - t0
+        samples.append(B * n_steps / dt / n_chips)
+    clips = float(np.mean(samples))
+    note("samples clips/sec/chip: " + ", ".join(f"{s:.2f}" for s in samples)
+         + f"  (mean {clips:.2f} +- {np.std(samples):.2f})")
+    linear = bool(cfg.TRAIN.LINEAR)
+    flops_clip = flops_count_timesformer(cfg) * 1e9 * (1.0 if linear else 3.0)
+    sol = peak_tflops() * 1e12 / flops_clip
+    name = ("EPIC full-finetune" if ft_cfg == "ek"
+            else "COIN linear-finetune")
+    print(json.dumps({
+        "metric": f"{name} clips/sec/chip (TimeSformer-B {T}f, B={B})",
+        "value": round(clips, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips / sol, 4),
+    }))
+
+
 def main():
     import sys
 
@@ -193,6 +307,8 @@ def main():
 
     if _os.environ.get("BENCH_EVAL") == "1":
         return bench_eval(cfg, note)
+    if _os.environ.get("BENCH_FINETUNE") == "1":
+        return bench_finetune(note)
 
     # samples per step; each sample is ORDER_PRETRAIN_MAX_LEN = 9 clips
     B = int(_os.environ.get("BENCH_B", "2"))  # B=2 fits both models; MViT measured 61.0 at B=2 vs 59.7 at B=1

@@ -133,6 +133,20 @@ def make_train_step(
         return out, mut["batch_stats"]
 
     def loss_and_metrics(params, model_state, batch, rngs):
+        if not is_pretrain:
+            # frozen-group params (COIN linear probe: the whole encoder;
+            # any finetune: the 512-d pretrain projection head) take no
+            # gradient at all — torch requires_grad=False semantics
+            # (solver/optimizer.stop_frozen_gradients).  Pretraining is
+            # left untouched: its only frozen group is the CLIP text
+            # tower, already stopped at its output
+            # (models/procedurevrl.py:157), and skipping keeps the
+            # headline step's HLO byte-identical (compile-cache warm).
+            from procedurevrl_tpu.solver.optimizer import (
+                stop_frozen_gradients,
+            )
+
+            params = stop_frozen_gradients(params, cfg)
         frames = normalize_frames(batch["frames"], cfg)
         if is_pretrain:
             meta = {

@@ -54,6 +54,27 @@ def _group_of(path: str, cfg) -> str:
     return "main"
 
 
+def stop_frozen_gradients(params, cfg):
+    """stop_gradient every 'frozen'-group leaf — the computational
+    equivalent of torch ``requires_grad=False`` (reference
+    ``lib/models/vit.py:244-261``): the backward never emits the frozen
+    subtree's wgrad (or, for a fully frozen encoder, any of its dgrads),
+    instead of computing full gradients and zeroing the *update* as
+    ``optax.set_to_zero`` alone does.  For the COIN linear probes
+    (TRAIN.LINEAR) this deletes the entire encoder backward — measured
+    2.9x on the full-size step (BASELINE.md round 5).  Group labels are
+    the same ``_group_of`` the optimizer masks with, so update semantics
+    are unchanged; ``grad_norm`` then covers exactly the parameters torch
+    would count (those with grads)."""
+    def f(path, p):
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        if _group_of(name, cfg) == "frozen":
+            return jax.lax.stop_gradient(p)
+        return p
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def _adam_scaling(cfg) -> optax.GradientTransformation:
     """scale_by_adam with the configured moment storage dtype
     (``TPU.MOMENT_DTYPE``; bf16 moments via solver/low_precision)."""

@@ -192,3 +192,71 @@ def test_flat_optimizer_train_step_matches_per_leaf():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-6, rtol=2e-6,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_linear_finetune_skips_frozen_backward():
+    """TRAIN.LINEAR: frozen-group params take NO gradient computation
+    (solver/optimizer.stop_frozen_gradients — torch requires_grad=False
+    semantics, reference lib/models/vit.py:244-261) yet the update is
+    bit-equivalent to the old compute-then-zero masking, and the compiled
+    step's FLOPs drop by the skipped encoder backward."""
+    import procedurevrl_tpu.solver.optimizer as opt_mod
+
+    cfg = _tiny_cls_cfg()
+    cfg.TRAIN.LINEAR = True
+    rng = np.random.RandomState(2)
+    frames = rng.randn(8, 2, 32, 32, 3).astype(np.float32)
+    labels = np.arange(8) % cfg.MODEL.NUM_CLASSES
+    key = jax.random.PRNGKey(0)
+
+    def run(disable_stop):
+        orig = opt_mod.stop_frozen_gradients
+        if disable_stop:
+            opt_mod.stop_frozen_gradients = lambda params, cfg: params
+        try:
+            mesh, model, label_emb, state, step = _setup(cfg)
+            rep, data = replicated(mesh), batch_sharding(mesh)
+            compiled = jax.jit(step, in_shardings=(rep, data, rep))
+            batch = shard_batch(mesh, {"frames": frames, "labels": labels})
+            k = jax.device_put(key, rep)
+            state = jax.device_put(state, rep)
+            lowered = compiled.lower(state, batch, k).compile()
+            cost = lowered.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            init_params = jax.device_get(state.params)
+            for _ in range(3):
+                state, metrics = compiled(state, batch, k)
+            return (float(cost["flops"]), init_params,
+                    jax.device_get(state.params), float(metrics["loss"]))
+        finally:
+            opt_mod.stop_frozen_gradients = orig
+
+    flops_new, init_new, params_new, loss_new = run(disable_stop=False)
+    flops_old, init_old, params_old, loss_old = run(disable_stop=True)
+
+    # same init (deterministic), same resulting params and loss
+    np.testing.assert_allclose(loss_new, loss_old, atol=1e-6, rtol=1e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params_new),
+            jax.tree_util.tree_leaves_with_path(params_old)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=2e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+    # frozen encoder truly untouched; trainable heads moved
+    flat_init = dict(jax.tree_util.tree_leaves_with_path(init_new))
+    moved, held = 0, 0
+    for path, p in jax.tree_util.tree_leaves_with_path(params_new):
+        name = "/".join(getattr(k_, "key", str(k_)) for k_ in path)
+        same = np.array_equal(np.asarray(p), np.asarray(flat_init[path]))
+        if opt_mod._group_of(name, cfg) == "frozen":
+            assert same, f"frozen param {name} changed"
+            held += 1
+        elif not same:
+            moved += 1
+    assert held > 0 and moved > 0
+
+    # the whole encoder backward is gone: linear-probe step must cost
+    # well under the compute-then-zero step (tiny geometry: bwd dominates)
+    assert flops_new < 0.75 * flops_old, (flops_new, flops_old)

@@ -2,7 +2,9 @@
 
 Runs TD_STEPS (default 300) full-size order-pretraining train steps on
 the real chip with a PER-STEP FRESH synthetic batch and the config's real
-LR schedule (warmup + cosine over TD_STEPS, reference
+LR schedule compressed onto TD_STEPS (the shipped pretrain policy is
+steps_with_relative_lrs with no warmup; any STEPS boundaries and warmup
+fraction are rescaled by TD_STEPS/MAX_EPOCH — reference
 ``lib/utils/lr_policy.py:8-87``), logging loss / kl / mse / lr /
 grad-norm per step to a JSONL.
 
@@ -65,13 +67,18 @@ def main() -> None:
     mesh = build_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
     model, label_emb = build_model(cfg)
     params = init_params(cfg, model, label_emb)
-    # REAL schedule engaged across this run: warmup_epochs and max_epoch
-    # are in "epochs" = steps here (steps_per_epoch=1), so the config's
-    # warmup fraction and cosine tail map onto TD_STEPS exactly.
+    # REAL schedule engaged across this run, compressed onto TD_STEPS:
+    # "epochs" = steps here (steps_per_epoch=1), so MAX_EPOCH, any STEPS
+    # boundaries (steps_with_relative_lrs — the shipped pretrain policy),
+    # and the warmup fraction are all rescaled by n_steps / MAX_EPOCH.
+    # A config with no warmup keeps none (the reference pretrain config
+    # has WARMUP_EPOCHS 0; forcing one would spike step 0 to
+    # WARMUP_START_LR = 0.01 = 200x base).
     sched_cfg = cfg.clone()
+    scale = n_steps / max(cfg.SOLVER.MAX_EPOCH, 1)
     sched_cfg.SOLVER.MAX_EPOCH = n_steps
-    warm_frac = cfg.SOLVER.WARMUP_EPOCHS / max(cfg.SOLVER.MAX_EPOCH, 1)
-    sched_cfg.SOLVER.WARMUP_EPOCHS = max(1.0, warm_frac * n_steps)
+    sched_cfg.SOLVER.STEPS = [int(round(s * scale)) for s in cfg.SOLVER.STEPS]
+    sched_cfg.SOLVER.WARMUP_EPOCHS = cfg.SOLVER.WARMUP_EPOCHS * scale
     sched = lr_schedule(sched_cfg, 1)
     tx = construct_optimizer(
         jax.tree_util.tree_map(
@@ -97,8 +104,9 @@ def main() -> None:
         })
 
     print(f"# {n_steps} steps, fresh batch/step, schedule: "
-          f"{cfg.SOLVER.LR_POLICY} warmup {sched_cfg.SOLVER.WARMUP_EPOCHS:.0f} "
-          f"steps base_lr {cfg.SOLVER.BASE_LR}", file=sys.stderr, flush=True)
+          f"{cfg.SOLVER.LR_POLICY} steps {sched_cfg.SOLVER.STEPS} warmup "
+          f"{sched_cfg.SOLVER.WARMUP_EPOCHS:.1f} steps base_lr "
+          f"{cfg.SOLVER.BASE_LR}", file=sys.stderr, flush=True)
 
     t_start = time.perf_counter()
     with open(out_path, "w") as f:
