@@ -53,20 +53,51 @@ def capture(trace_dir: str, n_steps: int = 4) -> None:
     T, S = cfg.DATA.NUM_FRAMES, cfg.DATA.TRAIN_CROP_SIZE
 
     mesh = build_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    rng = np.random.RandomState(0)
+
+    if os.environ.get("BENCH_EVAL") == "1":
+        # profile the zero-shot eval forward exactly as bench.py's
+        # BENCH_EVAL mode runs it (minus the scan harness: the profiler
+        # wants individual dispatches)
+        from procedurevrl_tpu.engine.steps import make_eval_step
+
+        cfg = get_cfg()
+        cfg.merge_from_file("configs/COIN/step_classification.yaml")
+        cfg.DEV.LOAD_DUMMY_DATA = True
+        cfg.OUTPUT_DIR = "/tmp/bench_out"
+        cfg.DEV.MATCH_LANG_EMB = True
+        T = cfg.DATA.NUM_FRAMES
+        model, label_emb = build_model(cfg)
+        params = init_params(cfg, model, label_emb)
+        Bv = int(os.environ.get("BENCH_EVAL_B", "16"))
+        Sv = cfg.DATA.TEST_CROP_SIZE
+        ev = jax.jit(make_eval_step(model, cfg, label_emb),
+                     in_shardings=(rep, data))
+        frames = rng.randint(0, 256, (Bv, T, Sv, Sv, 3)).astype(np.uint8)
+        batch = {"frames": jax.device_put(frames, data)}
+        variables = jax.device_put({"params": params}, rep)
+        for _ in range(2):
+            out = ev(variables, batch)
+            jax.block_until_ready(out)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_steps):
+                out = ev(variables, batch)
+            jax.block_until_ready(out)
+        return
+
     model, label_emb = build_model(cfg)
     params = init_params(cfg, model, label_emb)
     sched = lr_schedule(cfg, 1000)
     tx = construct_optimizer(
-        __import__("jax").tree_util.tree_map(
+        jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
         ), cfg, sched,
     )
     state = TrainState.create(params, tx)
     train_step = make_train_step(model, tx, cfg, label_emb, sched, 1)
-    rep, data = replicated(mesh), batch_sharding(mesh)
     step = jax.jit(train_step, in_shardings=(rep, data, rep),
                    donate_argnums=(0,))
-    rng = np.random.RandomState(0)
     batch = shard_batch(mesh, {
         "frames": rng.randn(B, M, T, S, S, 3).astype(np.float32),
         "labels": np.zeros((B,), np.int32),
