@@ -62,7 +62,8 @@ def stop_frozen_gradients(params, cfg):
     instead of computing full gradients and zeroing the *update* as
     ``optax.set_to_zero`` alone does.  For the COIN linear probes
     (TRAIN.LINEAR) this deletes the entire encoder backward — measured
-    2.9x on the full-size step (BASELINE.md round 5).  Group labels are
+    2.7x on the full-size step (BASELINE.md round 5: 224.7 vs 83.1
+    clips/sec/chip).  Group labels are
     the same ``_group_of`` the optimizer masks with, so update semantics
     are unchanged; ``grad_norm`` then covers exactly the parameters torch
     would count (those with grads)."""

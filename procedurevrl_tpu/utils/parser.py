@@ -95,7 +95,17 @@ def load_config(args):
     return _assert_and_infer_cfg(cfg)
 
 
-def compilation_cache_dir() -> str:
+def _current_platform() -> str:
+    """First configured JAX platform ('' when unset and no env override)."""
+    import os
+
+    import jax
+
+    return (jax.config.jax_platforms
+            or os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
+
+
+def compilation_cache_dir(cpuinfo_path: str = "/proc/cpuinfo") -> str:
     """Platform- and host-feature-keyed persistent-cache directory.
 
     XLA:CPU executables embed host ISA features (AVX level etc.); a cache
@@ -109,24 +119,30 @@ def compilation_cache_dir() -> str:
     import os
     import platform as _platform
 
-    import jax
-
     base = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax_comp")
-    plat = (jax.config.jax_platforms
-            or os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
-    if plat != "cpu":
+    if _current_platform() != "cpu":
         return base
-    flags = ""
+    # Key on the flag set AND the model identity: LLVM tuning features
+    # (e.g. prefer-no-scatter/prefer-no-gather) are derived from the CPU
+    # model, so two hosts with identical cpuinfo flags but different
+    # models still produce incompatible AOT executables (observed: the
+    # feature-mismatch warning recurred inside a flags-keyed dir).
+    parts = []
     try:
-        with open("/proc/cpuinfo") as f:
+        with open(cpuinfo_path) as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                key = line.split(":", 1)[0].strip()
+                if key in ("flags", "vendor_id", "cpu family", "model",
+                           "model name", "stepping"):
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())
+                                          if key == "flags"
+                                          else line.split(":", 1)[1].split()))
+                if len(parts) == 6:
                     break
     except OSError:
         pass
-    feat = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    feat = hashlib.sha1("|".join(parts).encode()).hexdigest()[:8]
     return os.path.join(base, f"cpu-{_platform.machine()}-{feat}")
 
 
