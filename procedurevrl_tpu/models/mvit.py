@@ -402,6 +402,84 @@ def add_rel_pos_spatial(attn, q, has_cls: bool, q_shape, k_shape,
     return attn
 
 
+def _rel_cat_v2(qb, q_shape, k_shape, H: int, d: int,
+                rel_pos_t, rel_pos_h, rel_pos_w, mode: str):
+    """Decomposed rel-pos bias via ONE copy-free GEMM + static selection
+    (opt-in ``MVIT_RELV2=einsum|gather``).
+
+    The default path's three per-axis einsums (``bthwyc,hkc->bthwyk`` etc,
+    reference ``attention.py:93-110``) are position-BATCHED dots: XLA
+    materializes their lhs batch-leading ([h,b,t,w,y,d] copies of q) — the
+    largest family in the round-5 HLO copy census (~4.9 GB/step).  This
+    path uses the identity ``rel_axis[.., p, .., k] = (q · Rtab_full^T)
+    [.., p, .., dist(p, k)]``: contract q once against the row-STACKED
+    full distance tables (a plain 2-D GEMM on the kernel-feed layout — no
+    batching, no relayout), then select the per-(position, key) entry with
+    a static map:
+
+    - ``einsum``: per-axis 0/1 selector ``[q_axis, R_axis, k_axis]``
+      (position-batched again, but over the narrow R axis in the compute
+      dtype instead of d-wide q);
+    - ``gather``: ``take_along_axis`` with one precomputed ``[qn, kcat]``
+      index map, producing the packed kernel operand directly.
+
+    Returns the 6-D ``[B, q_t, q_h, q_w, H, kcat]`` bias in qb's dtype,
+    numerically equal to the default path up to fp32 dot-accumulation
+    order (same fp32 contraction over c, same cast point; the selection
+    itself is exact).
+    """
+    B = qb.shape[0]
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    axes = [(q_t, k_t, rel_pos_t), (q_h, k_h, rel_pos_h),
+            (q_w, k_w, rel_pos_w)]
+    tabs, dists, rlens = [], [], []
+    for qa, ka, rp in axes:
+        rlen = int(2 * max(qa, ka) - 1)
+        tabs.append(_interp_rel_pos(rp, rlen))
+        dists.append(_rel_dist_table(qa, ka))
+        rlens.append(rlen)
+    rsum = sum(rlens)
+    rcat = jnp.concatenate(tabs, axis=0)            # [Rsum, d]
+    # [B, qn, H, d] x [d, Rsum] — lhs is a free row-major view of the
+    # [B, L, H*d] attention stream; fp32 accumulation like the default
+    u = jax.lax.dot_general(
+        qb.reshape(B, q_t * q_h * q_w, H, d), rcat.astype(qb.dtype),
+        (((3,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(qb.dtype)                              # [B, qn, H, Rsum]
+    kcat = k_t + k_h + k_w
+    if mode == "gather":
+        idx = np.zeros((q_t * q_h * q_w, kcat), np.int32)
+        pos = np.stack(np.meshgrid(np.arange(q_t), np.arange(q_h),
+                                   np.arange(q_w), indexing="ij"),
+                       axis=-1).reshape(-1, 3)      # [qn, 3]
+        off_r, off_k = 0, 0
+        for ax, (qa, ka, _) in enumerate(axes):
+            idx[:, off_k:off_k + ka] = off_r + dists[ax][pos[:, ax]]
+            off_r += rlens[ax]
+            off_k += ka
+        out = jnp.take_along_axis(
+            u, jnp.asarray(idx)[None, :, None, :], axis=-1)
+        return out.reshape(B, q_t, q_h, q_w, H, kcat)
+    # mode == "einsum": 0/1 selector per axis, contraction over R_axis
+    u6 = u.reshape(B, q_t, q_h, q_w, H, rsum)
+    parts, specs, off_r = [], "thw", 0
+    for ax, (qa, ka, _) in enumerate(axes):
+        sel = np.zeros((qa, rlens[ax], ka), np.float32)
+        qi = np.arange(qa)[:, None]
+        ki = np.arange(ka)[None, :]
+        sel[qi, dists[ax], ki] = 1.0
+        a = specs[ax]
+        part = jnp.einsum(
+            f"bthwyr,{a}rk->bthwyk",
+            u6[..., off_r:off_r + rlens[ax]],
+            jnp.asarray(sel).astype(qb.dtype),
+            preferred_element_type=jnp.float32)
+        parts.append(part.astype(qb.dtype))
+        off_r += rlens[ax]
+    return jnp.concatenate(parts, axis=-1)
+
+
 def add_rel_pos_temporal(attn, q, has_cls: bool, q_shape, k_shape, rel_pos_t):
     """Temporal rel-pos (reference ``attention.py:120-159``)."""
     sp = 1 if has_cls else 0
@@ -516,21 +594,33 @@ class MultiScaleAttention(nn.Module):
         qc, qb = q[:, :1], q[:, 1:]
         kc, kb = k[:, :1], k[:, 1:]
         vc, vb = v[:, :1], v[:, 1:]
-        Rh = _interp_rel_pos(rel_pos_h, int(2 * max(q_h, k_h) - 1))[
-            jnp.asarray(_rel_dist_table(q_h, k_h))]
-        Rw = _interp_rel_pos(rel_pos_w, int(2 * max(q_w, k_w) - 1))[
-            jnp.asarray(_rel_dist_table(q_w, k_w))]
-        Rt = _interp_rel_pos(rel_pos_t, int(2 * max(q_t, k_t) - 1))[
-            jnp.asarray(_rel_dist_table(q_t, k_t))]
         qn = q_t * q_h * q_w
-        r_q = qb.reshape(B, q_t, q_h, q_w, H, d)
-        rel_h = jnp.einsum("bthwyc,hkc->bthwyk", r_q, Rh.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
-        rel_w = jnp.einsum("bthwyc,wkc->bthwyk", r_q, Rw.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
-        rel_t = jnp.einsum("bthwyc,tkc->bthwyk", r_q, Rt.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
         import os
+
+        relv2 = os.environ.get("MVIT_RELV2", "0")
+        if relv2 not in ("", "0"):
+            rel_cat = _rel_cat_v2(
+                qb, (q_t, q_h, q_w), (k_t, k_h, k_w), H, d,
+                rel_pos_t, rel_pos_h, rel_pos_w, mode=relv2)
+        else:
+            rel_cat = None
+        if rel_cat is None:
+            Rh = _interp_rel_pos(rel_pos_h, int(2 * max(q_h, k_h) - 1))[
+                jnp.asarray(_rel_dist_table(q_h, k_h))]
+            Rw = _interp_rel_pos(rel_pos_w, int(2 * max(q_w, k_w) - 1))[
+                jnp.asarray(_rel_dist_table(q_w, k_w))]
+            Rt = _interp_rel_pos(rel_pos_t, int(2 * max(q_t, k_t) - 1))[
+                jnp.asarray(_rel_dist_table(q_t, k_t))]
+            r_q = qb.reshape(B, q_t, q_h, q_w, H, d)
+            rel_h = jnp.einsum(
+                "bthwyc,hkc->bthwyk", r_q, Rh.astype(q.dtype),
+                preferred_element_type=jnp.float32)
+            rel_w = jnp.einsum(
+                "bthwyc,wkc->bthwyk", r_q, Rw.astype(q.dtype),
+                preferred_element_type=jnp.float32)
+            rel_t = jnp.einsum(
+                "bthwyc,tkc->bthwyk", r_q, Rt.astype(q.dtype),
+                preferred_element_type=jnp.float32)
 
         from jax.ad_checkpoint import checkpoint_name
 
@@ -546,8 +636,9 @@ class MultiScaleAttention(nn.Module):
         # dtype — the kernels run the bias dot with input-dtype operands
         # (fp32 tests stay exact; bf16 halves the rel DMA traffic).
         kcat = k_t + k_h + k_w
-        rel_cat = jnp.concatenate(
-            [rel_t, rel_h, rel_w], axis=-1).astype(q.dtype)
+        if rel_cat is None:
+            rel_cat = jnp.concatenate(
+                [rel_t, rel_h, rel_w], axis=-1).astype(q.dtype)
         from procedurevrl_tpu.utils.env import env_flag
 
         if env_flag("MVIT_SAVE_REL", False):

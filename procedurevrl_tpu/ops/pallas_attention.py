@@ -813,8 +813,15 @@ def _flash_cls_qkv_fwd_pipe(qkv, qkv_c, num_heads: int, scale: float):
 def _sp_batch_group(b: int) -> int:
     """Smaller row group for the saved-probs variants: the probs block
     ((gb, hpb, NP, KPAD), double-buffered) joins the qkv/grad blocks in
-    VMEM; gb=12 would exceed the comfortable budget in the backward."""
-    for gb in (8, 6, 4, 2, 1):
+    VMEM; gb=12 would exceed the comfortable budget in the backward.
+    PALLAS_SP_GB overrides (sweep knob — wide-hpb blocks need a smaller
+    row group to stay inside scoped VMEM)."""
+    import os
+
+    prefs = (8, 6, 4, 2, 1)
+    if os.environ.get("PALLAS_SP_GB"):
+        prefs = (int(os.environ["PALLAS_SP_GB"]),) + prefs
+    for gb in prefs:
         if b % gb == 0:
             return gb
     return 1

@@ -368,3 +368,87 @@ def test_mvit_hl_kernel_bf16_close():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=5e-2, rtol=5e-2, err_msg=f"grad arg {i}")
+
+
+def test_mvit_relv2_matches_einsum_path(monkeypatch):
+    """MVIT_RELV2 (one stacked-table GEMM + static selection) matches the
+    default per-axis batched einsums in value AND in the gradients through
+    q and the raw rel-pos tables (incl. the length-interpolation branch),
+    for both selection modes."""
+    from procedurevrl_tpu.models.mvit import (
+        _interp_rel_pos, _rel_cat_v2, _rel_dist_table,
+    )
+
+    rng = np.random.RandomState(3)
+    B, H, d = 2, 4, 24
+    q_shape, k_shape = (4, 6, 6), (4, 3, 3)
+    qn = int(np.prod(q_shape))
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.5, jnp.float32)
+    qb = mk(B, qn, H * d)
+    # rel_pos_h deliberately at a non-matching length to engage interp
+    rpt = mk(2 * max(q_shape[0], k_shape[0]) - 1, d)
+    rph = mk(9, d)
+    rpw = mk(2 * max(q_shape[2], k_shape[2]) - 1, d)
+
+    def ref(qb, rpt, rph, rpw):
+        q_t, q_h, q_w = q_shape
+        k_t, k_h, k_w = k_shape
+        Rt = _interp_rel_pos(rpt, 2 * max(q_t, k_t) - 1)[
+            jnp.asarray(_rel_dist_table(q_t, k_t))]
+        Rh = _interp_rel_pos(rph, 2 * max(q_h, k_h) - 1)[
+            jnp.asarray(_rel_dist_table(q_h, k_h))]
+        Rw = _interp_rel_pos(rpw, 2 * max(q_w, k_w) - 1)[
+            jnp.asarray(_rel_dist_table(q_w, k_w))]
+        r_q = qb.reshape(B, q_t, q_h, q_w, H, d)
+        rel_t = jnp.einsum("bthwyc,tkc->bthwyk", r_q, Rt,
+                           preferred_element_type=jnp.float32)
+        rel_h = jnp.einsum("bthwyc,hkc->bthwyk", r_q, Rh,
+                           preferred_element_type=jnp.float32)
+        rel_w = jnp.einsum("bthwyc,wkc->bthwyk", r_q, Rw,
+                           preferred_element_type=jnp.float32)
+        return jnp.concatenate([rel_t, rel_h, rel_w], axis=-1)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    val_ref = ref(qb, rpt, rph, rpw)
+    g_ref = jax.grad(loss(ref), argnums=(0, 1, 2, 3))(qb, rpt, rph, rpw)
+    for mode in ("einsum", "gather"):
+        fn = lambda qb, rpt, rph, rpw: _rel_cat_v2(
+            qb, q_shape, k_shape, H, d, rpt, rph, rpw, mode=mode)
+        np.testing.assert_allclose(np.asarray(fn(qb, rpt, rph, rpw)),
+                                   np.asarray(val_ref),
+                                   atol=2e-5, rtol=2e-5, err_msg=mode)
+        g_new = jax.grad(loss(fn), argnums=(0, 1, 2, 3))(qb, rpt, rph, rpw)
+        for i, (a, b) in enumerate(zip(g_new, g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-5,
+                                       err_msg=f"{mode} grad arg {i}")
+
+
+def test_mvit_relv2_model_dispatch(setup, monkeypatch):
+    """MVIT_RELV2=gather|einsum at the MODEL level (MultiScaleAttention
+    fused-attention dispatch): outputs and grads match the default
+    producer-einsum path."""
+    x, thw, params = setup
+
+    def loss(params, x):
+        out, _ = _attn(True).apply({"params": params}, x, thw)
+        return jnp.sum(jnp.sin(out))
+
+    monkeypatch.delenv("MVIT_RELV2", raising=False)
+    ref, _ = _attn(True).apply({"params": params}, x, thw)
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+
+    for mode in ("einsum", "gather"):
+        monkeypatch.setenv("MVIT_RELV2", mode)
+        out, _ = _attn(True).apply({"params": params}, x, thw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-5, err_msg=mode)
+        g_out = jax.grad(loss, argnums=(0, 1))(params, x)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_out),
+                jax.tree_util.tree_leaves_with_path(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+                err_msg=f"{mode} {jax.tree_util.keystr(path)}")
