@@ -85,7 +85,28 @@ def _psum_div(p):
         rs = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         return p / rs
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    rs = jnp.sum(p, axis=-1, keepdims=True)
+    if env_flag("SPATIAL_RECIP", False):
+        # strength-reduce the [NP, NP] broadcast divide to one reciprocal
+        # column + a multiply (exact reciprocal; the approx variant costs
+        # ~1e-3 relative error on the probabilities — too coarse)
+        return p * pl.reciprocal(rs, approx=False)
+    return p / rs
+
+
+def _sub_max(s):
+    """Numerical-stability shift.  SPATIAL_NOMAX=1 skips it: softmax is
+    shift-invariant, so the result is mathematically identical, and the
+    per-row cross-lane max reduce + broadcast subtract are two of the
+    costlier VPU passes in the chain (the round-2 LayerNorm lesson: lane
+    reductions are slow).  fp32 exp overflows only beyond logits ~88 —
+    safe for LN-bounded q/k at d=64, but kept opt-in because late-training
+    attention collapse can spike logits."""
+    from procedurevrl_tpu.utils.env import env_flag
+
+    if env_flag("SPATIAL_NOMAX", False):
+        return s
+    return s - jnp.max(s, axis=-1, keepdims=True)
 
 
 def _softmax_probs(q, k, scale: float, n_valid: int):
@@ -97,7 +118,7 @@ def _softmax_probs(q, k, scale: float, n_valid: int):
     if n_valid < npad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, jnp.finfo(jnp.float32).min)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
+    s = _sub_max(s)
     p = jnp.exp(s)
     return _psum_div(p)
 
@@ -112,7 +133,7 @@ def _softmax_probs_gap(q, k, scale: float, n: int, cls_row: int):
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where((col < n) | (col == cls_row), s,
                   jnp.finfo(jnp.float32).min)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
+    s = _sub_max(s)
     p = jnp.exp(s)
     return _psum_div(p)
 

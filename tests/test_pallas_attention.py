@@ -448,3 +448,38 @@ def test_flash_cls_qkv_pipelined_production_geometry(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-5, rtol=1e-5,
                                    err_msg=f"output {i}")
+
+
+def test_flash_cls_qkv_nomax_recip_match_default(monkeypatch):
+    """SPATIAL_NOMAX=1 (skip the shift-invariant stability subtract) and
+    SPATIAL_RECIP=1 (reciprocal-multiply normalize) match the default
+    softmax chain in values and grads — both are VPU-pass-reduction
+    experiments on the spatial kernels' fp32 softmax."""
+    from procedurevrl_tpu.ops.attention import qkv_window_perm
+    from procedurevrl_tpu.ops.pallas_attention import (
+        _heads_per_block, flash_attention_cls_qkv,
+    )
+
+    rng = np.random.RandomState(17)
+    b, n, heads, d = 2, 196, 4, 64
+    c = heads * d
+    scale = d ** -0.5
+    perm = np.asarray(qkv_window_perm(c, heads, _heads_per_block(d, heads)))
+    qkv = jnp.asarray(rng.randn(b, n, 3 * c), jnp.float32)[..., perm]
+    qkv_c = jnp.asarray(rng.randn(b, 1, 3 * c), jnp.float32)[..., perm]
+
+    def loss(qkv, qkv_c):
+        f, cl = flash_attention_cls_qkv(qkv, qkv_c, heads, scale)
+        return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(cl))
+
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
+    for knob in ("SPATIAL_NOMAX", "SPATIAL_RECIP"):
+        monkeypatch.setenv(knob, "1")
+        v_new, g_new = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
+        monkeypatch.delenv(knob)
+        np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-5,
+                                   err_msg=knob)
+        for i, (a, b_) in enumerate(zip(g_new, g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-5, rtol=5e-5,
+                                       err_msg=f"{knob} grad arg {i}")
