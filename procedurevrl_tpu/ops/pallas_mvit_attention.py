@@ -29,6 +29,7 @@ K/V block VMEM-resident:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -170,7 +171,18 @@ def _probs(q, k, rel, e_cat, scale: float, kn: int):
         preferred_element_type=jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col <= kn, s, jnp.finfo(jnp.float32).min)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
+    # MVIT_SHIFT=max|clamp|none mirrors the spatial family's SPATIAL_SHIFT
+    # (pallas_attention._shift): `clamp` replaces the cross-lane row-max
+    # reduce + broadcast subtract with one elementwise min(s, 80) — exact
+    # softmax for bounded logits, finite (not inf/NaN) beyond; the widest
+    # key block here is KP=1664 and 1664*exp(80) ~ 9e37 < fp32 max.
+    mode = os.environ.get("MVIT_SHIFT", "max")
+    if mode == "clamp":
+        s = jnp.minimum(s, 80.0)
+    elif mode == "max":
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+    elif mode != "none":
+        raise ValueError(f"MVIT_SHIFT={mode!r}: expected max|clamp|none")
     p = jnp.exp(s)
     return p / jnp.sum(p, axis=-1, keepdims=True)
 

@@ -452,3 +452,38 @@ def test_mvit_relv2_model_dispatch(setup, monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
                 err_msg=f"{mode} {jax.tree_util.keystr(path)}")
+
+
+def test_mvit_shift_modes_match_reference(monkeypatch):
+    """MVIT_SHIFT=clamp|none match the reference-faithful row-max chain
+    (=max, the default) in values and grads on the per-head kernel —
+    softmax is shift-invariant and the clamp never engages for bounded
+    logits (mirrors the spatial family's SPATIAL_SHIFT test)."""
+    from procedurevrl_tpu.ops.pallas_mvit_attention import (
+        flash_attention_mvit,
+    )
+
+    rng = np.random.RandomState(23)
+    BH, d = 4, 96
+    q_shape, k_shape = (2, 10, 10), (2, 7, 7)
+    qn, kn = int(np.prod(q_shape)), int(np.prod(k_shape))
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.3, jnp.float32)
+    args = (mk(BH, qn, d), mk(BH, kn, d), mk(BH, kn, d),
+            mk(BH, 1, d), mk(BH, 1, d), mk(BH, qn, sum(k_shape)))
+    scale = d ** -0.5
+
+    def loss(*a):
+        return jnp.sum(jnp.sin(flash_attention_mvit(*a, k_shape, scale)))
+
+    monkeypatch.setenv("MVIT_SHIFT", "max")
+    v_ref = float(loss(*args))
+    g_ref = jax.grad(loss, argnums=tuple(range(6)))(*args)
+    for mode in ("clamp", "none"):
+        monkeypatch.setenv("MVIT_SHIFT", mode)
+        v_new = float(loss(*args))
+        g_new = jax.grad(loss, argnums=tuple(range(6)))(*args)
+        np.testing.assert_allclose(v_new, v_ref, rtol=1e-5, err_msg=mode)
+        for i, (a, b) in enumerate(zip(g_new, g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-5,
+                                       err_msg=f"{mode} grad arg {i}")

@@ -450,11 +450,12 @@ def test_flash_cls_qkv_pipelined_production_geometry(monkeypatch):
                                    err_msg=f"output {i}")
 
 
-def test_flash_cls_qkv_nomax_recip_match_default(monkeypatch):
-    """SPATIAL_NOMAX=1 (skip the shift-invariant stability subtract) and
-    SPATIAL_RECIP=1 (reciprocal-multiply normalize) match the default
-    softmax chain in values and grads — both are VPU-pass-reduction
-    experiments on the spatial kernels' fp32 softmax."""
+def test_flash_cls_qkv_shift_modes_match_reference(monkeypatch):
+    """Every SPATIAL_SHIFT mode (max = reference-faithful row-max
+    subtract, clamp = the default elementwise min(s, 80), none) and
+    SPATIAL_RECIP=1 (reciprocal-multiply normalize) produce the same
+    softmax values and grads — softmax is shift-invariant and the clamp
+    never engages for bounded logits."""
     from procedurevrl_tpu.ops.attention import qkv_window_perm
     from procedurevrl_tpu.ops.pallas_attention import (
         _heads_per_block, flash_attention_cls_qkv,
@@ -472,14 +473,45 @@ def test_flash_cls_qkv_nomax_recip_match_default(monkeypatch):
         f, cl = flash_attention_cls_qkv(qkv, qkv_c, heads, scale)
         return jnp.sum(jnp.sin(f)) + 2.0 * jnp.sum(jnp.cos(cl))
 
+    monkeypatch.setenv("SPATIAL_SHIFT", "max")
     v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
-    for knob in ("SPATIAL_NOMAX", "SPATIAL_RECIP"):
-        monkeypatch.setenv(knob, "1")
+    for knob, val in (("SPATIAL_SHIFT", "clamp"), ("SPATIAL_SHIFT", "none"),
+                      ("SPATIAL_RECIP", "1")):
+        monkeypatch.setenv(knob, val)
         v_new, g_new = jax.value_and_grad(loss, argnums=(0, 1))(qkv, qkv_c)
-        monkeypatch.delenv(knob)
+        monkeypatch.setenv("SPATIAL_SHIFT", "max")
+        monkeypatch.delenv("SPATIAL_RECIP", raising=False)
         np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-5,
-                                   err_msg=knob)
+                                   err_msg=f"{knob}={val}")
         for i, (a, b_) in enumerate(zip(g_new, g_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=5e-5, rtol=5e-5,
-                                       err_msg=f"{knob} grad arg {i}")
+                                       err_msg=f"{knob}={val} grad arg {i}")
+
+
+def test_flash_temporal_shift_modes_match_reference(monkeypatch):
+    """TEMPORAL_SHIFT=clamp|none match the roll-max chain (=max, default)
+    in values and grads on the temporal v2 kernel — the clamp replaces the
+    whole log2(128/hpb) roll-max-doubling sequence with one min."""
+    from procedurevrl_tpu.ops.pallas_attention import flash_attention_temporal
+
+    rng = np.random.RandomState(29)
+    t, n, heads = 8, 60, 2
+    c = heads * 64
+    qkv = jnp.asarray(rng.randn(1, t, n, 3 * c) * 0.3, jnp.float32)
+    scale = 64 ** -0.5
+
+    def loss(qkv):
+        return jnp.sum(jnp.sin(flash_attention_temporal(qkv, heads, scale)))
+
+    monkeypatch.setenv("TEMPORAL_SHIFT", "max")
+    v_ref = float(loss(qkv))
+    g_ref = jax.grad(loss)(qkv)
+    for mode in ("clamp", "none"):
+        monkeypatch.setenv("TEMPORAL_SHIFT", mode)
+        v_new = float(loss(qkv))
+        g_new = jax.grad(loss)(qkv)
+        np.testing.assert_allclose(v_new, v_ref, rtol=1e-5, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"{mode} grad")
